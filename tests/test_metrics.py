@@ -1,0 +1,87 @@
+"""Parity tests of metrics against independent numpy oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multimodal_segmentation_project_tpu.ops import metrics
+
+
+def np_macro_dice_iou(pred, labels, num_classes=4, eps=1e-5):
+    dices, ious = [], []
+    for c in range(1, num_classes):
+        pm = pred == c
+        tm = labels == c
+        if tm.sum() == 0:
+            continue
+        inter = float(np.logical_and(pm, tm).sum())
+        dices.append((2 * inter + eps) / (pm.sum() + tm.sum() + eps))
+        ious.append((inter + eps) / (pm.sum() + tm.sum() - inter + eps))
+    if not dices:
+        return 0.0, 0.0
+    return float(np.mean(dices)), float(np.mean(ious))
+
+
+def test_dice_iou_accuracy_parity(logits_labels):
+    logits, labels = logits_labels
+    pred = logits.argmax(-1)
+    want_dice, want_iou = np_macro_dice_iou(pred, labels)
+    got_dice = float(metrics.calculate_dice(jnp.array(logits), jnp.array(labels)))
+    got_iou = float(metrics.calculate_iou(jnp.array(logits), jnp.array(labels)))
+    got_acc = float(metrics.calculate_accuracy(jnp.array(logits), jnp.array(labels)))
+    assert got_dice == pytest.approx(want_dice, rel=1e-6)
+    assert got_iou == pytest.approx(want_iou, rel=1e-6)
+    assert got_acc == pytest.approx(float((pred == labels).mean()), rel=1e-6)
+
+
+def test_fused_metrics_match_individual(logits_labels):
+    logits, labels = logits_labels
+    m = metrics.segmentation_metrics(jnp.array(logits), jnp.array(labels))
+    assert float(m["dice"]) == pytest.approx(
+        float(metrics.calculate_dice(jnp.array(logits), jnp.array(labels))), rel=1e-6
+    )
+    assert float(m["iou"]) == pytest.approx(
+        float(metrics.calculate_iou(jnp.array(logits), jnp.array(labels))), rel=1e-6
+    )
+    assert float(m["acc"]) == pytest.approx(
+        float(metrics.calculate_accuracy(jnp.array(logits), jnp.array(labels))), rel=1e-6
+    )
+
+
+def test_absent_classes_skipped():
+    # Target contains only background + class 2: classes 1 and 3 must be
+    # excluded from the macro average (utils/metrics.py:83,110 semantics).
+    labels = np.zeros((1, 6, 6, 6), dtype=np.int32)
+    labels[0, :3] = 2
+    logits = np.full((1, 6, 6, 6, 4), -10.0, dtype=np.float32)
+    logits[..., 0] = 10.0  # predict all background
+    d = float(metrics.calculate_dice(jnp.array(logits), jnp.array(labels)))
+    # one valid class (2), dice = eps/(t+eps) ~ 0
+    assert d < 1e-3
+    # now predict class 2 perfectly -> dice 1.0 even though 1,3 absent
+    logits2 = np.full((1, 6, 6, 6, 4), -10.0, dtype=np.float32)
+    logits2[..., 0] = np.where(labels[0] == 0, 10.0, -10.0)
+    logits2[..., 2] = np.where(labels[0] == 2, 10.0, -10.0)
+    d2 = float(metrics.calculate_dice(jnp.array(logits2), jnp.array(labels)))
+    assert d2 == pytest.approx(1.0, abs=1e-5)
+
+
+def test_all_background_returns_zero():
+    labels = np.zeros((1, 4, 4, 4), dtype=np.int32)
+    logits = np.zeros((1, 4, 4, 4, 4), dtype=np.float32)
+    assert float(metrics.calculate_dice(jnp.array(logits), jnp.array(labels))) == 0.0
+    assert float(metrics.calculate_iou(jnp.array(logits), jnp.array(labels))) == 0.0
+
+
+def test_per_class_eval_semantics():
+    # Eval pipeline: absent organ scored 0.0 (test_model.py:274-276 semantics).
+    labels = np.zeros((1, 6, 6, 6), dtype=np.int32)
+    labels[0, :2] = 1  # only spleen present
+    pred = labels.copy()
+    out = metrics.per_class_dice_iou(jnp.array(pred), jnp.array(labels), num_classes=4)
+    dice = np.asarray(out["dice"])
+    present = np.asarray(out["present"])
+    assert present.tolist() == [True, False, False]
+    assert dice[0] == pytest.approx(1.0, abs=1e-5)
+    assert dice[1] == 0.0 and dice[2] == 0.0
