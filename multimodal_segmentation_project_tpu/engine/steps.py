@@ -1,0 +1,209 @@
+"""Jitted train/eval steps for all four workloads.
+
+One engine, four step builders (the reference duplicates its loop per
+driver — train_unet.py:207-305, train_dann.py:225-326,
+finetune_ct.py, distill_unet.py:96-167):
+
+  * make_train_step  — baseline + fine-tune (fine-tune differs only by
+    the state's trainable_mask and init checkpoint)
+  * make_eval_step   — shared validation/eval step
+  * make_distill_step — frozen-teacher knowledge distillation
+  * make_dann_step   — two-model adversarial step with gradient reversal
+
+All steps are pure jitted functions over pytrees: metrics are computed
+on device and returned as small arrays — the host never forces a
+per-step sync (the reference all-gathers 4 scalars per batch through
+NCCL, train_unet.py:235-238). Under a data-parallel mesh the same code
+runs SPMD: gradients and metric reductions become XLA collectives over
+ICI automatically because the batch axis is sharded.
+
+Augmentation (when enabled) runs on device inside the step, keyed by a
+per-step PRNG key, replacing the reference's host-side MONAI workers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_segmentation_project_tpu.ops.augment import augment_batch
+from multimodal_segmentation_project_tpu.ops.grl import grad_reverse
+from multimodal_segmentation_project_tpu.ops.losses import cross_entropy_loss
+from multimodal_segmentation_project_tpu.ops.metrics import segmentation_metrics
+
+
+def _split_keys(key):
+    return jax.random.split(key, 2)
+
+
+def make_train_step(loss_fn, augment: bool = False):
+    """Baseline/fine-tune step: forward, loss, grads, masked AdamW update."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, images, labels, key):
+        k_aug, k_drop = _split_keys(key)
+        if augment:
+            images, labels = augment_batch(k_aug, images, labels)
+
+        def loss_of(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            return loss_fn(logits, labels), (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics = segmentation_metrics(logits, labels)
+        metrics["loss"] = loss
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(loss_fn):
+    @jax.jit
+    def eval_step(state, images, labels):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        metrics = segmentation_metrics(logits, labels)
+        metrics["loss"] = loss_fn(logits, labels)
+        return metrics
+
+    return eval_step
+
+
+def make_distill_step(kd_loss_fn, augment: bool = False):
+    """KD step: student trains against frozen teacher logits
+    (distill_unet.py:96-134 semantics; teacher under stop_gradient)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def distill_step(state, teacher_variables, images, labels, key):
+        k_aug, k_drop = _split_keys(key)
+        if augment:
+            images, labels = augment_batch(k_aug, images, labels)
+
+        teacher_logits = jax.lax.stop_gradient(
+            state.apply_fn(teacher_variables, images, train=False)
+        )
+
+        def loss_of(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            return (
+                kd_loss_fn(logits, teacher_logits, labels),
+                (logits, mutated["batch_stats"]),
+            )
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        metrics = segmentation_metrics(logits, labels)
+        metrics["loss"] = loss
+        return state, metrics
+
+    return distill_step
+
+
+def make_dann_step(loss_fn, lambda_domain: float, grad_accum_steps: int = 1):
+    """DANN adversarial step over a (source, target) batch pair.
+
+    Semantics follow train_dann.py:225-301 exactly, including its
+    double-lambda quirk: lambda scales the reversed gradient inside the
+    GRL (train_dann.py:248-249) AND weights the domain loss in the
+    total (train_dann.py:260) — so the discriminator trains on
+    lambda*CE while the feature extractor sees a lambda^2-scaled
+    adversarial gradient. Both the segmentation net and the
+    discriminator update from ONE backward pass, each via its own
+    masked AdamW (two optimizers, train_dann.py:421-422).
+
+    The reference divides task and domain losses by grad_accum_steps
+    manually (train_dann.py:244,258); here optax.MultiSteps already
+    averages, so losses are NOT pre-divided (identical effective
+    update).
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def dann_step(seg_state, disc_state, src_images, src_labels, tgt_images, key):
+        k_drop_s, k_drop_t, k_disc = jax.random.split(key, 3)
+
+        def loss_of(seg_params, disc_params):
+            (src_logits, src_feat), mut_s = seg_state.apply_fn(
+                {"params": seg_params, "batch_stats": seg_state.batch_stats},
+                src_images,
+                train=True,
+                return_features=True,
+                rngs={"dropout": k_drop_s},
+                mutable=["batch_stats"],
+            )
+            task_loss = loss_fn(src_logits, src_labels)
+
+            (_, tgt_feat), mut_t = seg_state.apply_fn(
+                {"params": seg_params, "batch_stats": mut_s["batch_stats"]},
+                tgt_images,
+                train=True,
+                return_features=True,
+                rngs={"dropout": k_drop_t},
+                mutable=["batch_stats"],
+            )
+
+            feats = jnp.concatenate(
+                [
+                    grad_reverse(src_feat, lambda_domain),
+                    grad_reverse(tgt_feat, lambda_domain),
+                ],
+                axis=0,
+            )
+            domain_logits = disc_state.apply_fn(
+                {"params": disc_params},
+                feats,
+                train=True,
+                rngs={"dropout": k_disc},
+            )
+            domain_labels = jnp.concatenate(
+                [
+                    jnp.zeros(src_feat.shape[0], jnp.int32),
+                    jnp.ones(tgt_feat.shape[0], jnp.int32),
+                ]
+            )
+            domain_loss = cross_entropy_loss(domain_logits, domain_labels)
+
+            total = task_loss + lambda_domain * domain_loss
+            aux = (task_loss, domain_loss, src_logits, mut_t["batch_stats"])
+            return total, aux
+
+        grad_fn = jax.value_and_grad(loss_of, argnums=(0, 1), has_aux=True)
+        (total, (task_loss, domain_loss, src_logits, new_stats)), (
+            seg_grads,
+            disc_grads,
+        ) = grad_fn(seg_state.params, disc_state.params)
+
+        seg_state = seg_state.apply_gradients(seg_grads).replace(
+            batch_stats=new_stats
+        )
+        disc_state = disc_state.apply_gradients(disc_grads)
+
+        metrics = segmentation_metrics(src_logits, src_labels)
+        metrics.update(
+            {"task_loss": task_loss, "domain_loss": domain_loss, "loss": total}
+        )
+        return seg_state, disc_state, metrics
+
+    del grad_accum_steps  # handled by optax.MultiSteps inside the states
+    return dann_step

@@ -1,0 +1,140 @@
+"""On-device stochastic augmentations, keyed by jax.random PRNG.
+
+Behavioral parity with the reference's MONAI pipeline
+(utils/dataloader.py:223-260 of fransiskusbudi/multimodal_segmentation_project),
+each transform applied with probability 0.3 per sample:
+
+  * RandBiasFieldd           -> random_bias_field (smooth multiplicative
+                                exp(polynomial) field, degree 3, coeff 0.1)
+  * RandGaussianNoised       -> random_gaussian_noise (std 0.01)
+  * RandAdjustContrastd      -> random_adjust_contrast (gamma U[0.7, 1.5])
+  * RandHistogramShiftd      -> random_histogram_shift (5 control points)
+  * RandCoarseDropoutd       -> random_coarse_dropout (2 holes of 16^3,
+                                fill 0, applied to image AND label)
+
+TPU-first design: the reference runs these on the host CPU inside
+DataLoader workers per sample; here they are pure jitted functions
+executed on device inside the train step, so augmentation rides the
+accelerator and is deterministic given the step PRNG key. All control
+flow is branchless (lax.select on the probability draw) so XLA traces a
+single static program.
+
+These are behavioral (distribution-level) equivalents of the MONAI
+transforms, not bit-exact ports.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_PROB = 0.3
+
+
+def _maybe(key, prob, img, fn):
+    """Apply fn(img) with probability prob (branchless)."""
+    apply = jax.random.uniform(key) < prob
+    return jnp.where(apply, fn(img), img)
+
+
+def _normalized_coords(shape):
+    """Per-axis coordinate grids in [-1, 1], shape (D, H, W) each."""
+    coords = []
+    for ax, n in enumerate(shape):
+        r = jnp.linspace(-1.0, 1.0, n)
+        r = r.reshape([-1 if i == ax else 1 for i in range(len(shape))])
+        coords.append(jnp.broadcast_to(r, shape))
+    return coords
+
+
+def random_bias_field(key, image, degree: int = 3, coeff_range=(0.0, 0.1)):
+    """Smooth multiplicative bias field: img * exp(sum c_ijk x^i y^j z^k)."""
+    spatial = image.shape[:3]
+    x, y, z = _normalized_coords(spatial)
+    terms = []
+    for i in range(degree + 1):
+        for j in range(degree + 1 - i):
+            for k in range(degree + 1 - i - j):
+                terms.append((x**i) * (y**j) * (z**k))
+    basis = jnp.stack(terms)  # (T, D, H, W)
+    coeffs = jax.random.uniform(
+        key, (len(terms),), minval=coeff_range[0], maxval=coeff_range[1]
+    )
+    field = jnp.exp(jnp.tensordot(coeffs, basis, axes=1))
+    return image * field[..., None]
+
+
+def random_gaussian_noise(key, image, mean: float = 0.0, std: float = 0.01):
+    return image + mean + std * jax.random.normal(key, image.shape)
+
+
+def random_adjust_contrast(key, image, gamma_range=(0.7, 1.5)):
+    """Gamma adjustment on the min-max normalized intensities (MONAI semantics)."""
+    gamma = jax.random.uniform(key, minval=gamma_range[0], maxval=gamma_range[1])
+    lo = jnp.min(image)
+    rng = jnp.max(image) - lo
+    eps = 1e-7
+    norm = (image - lo) / (rng + eps)
+    return jnp.power(norm, gamma) * (rng + eps) + lo
+
+
+def random_histogram_shift(key, image, num_control_points: int = 5):
+    """Random monotone piecewise-linear intensity remap (MONAI semantics).
+
+    Source control points evenly span [min, max]; destination points are
+    sorted uniform draws with fixed endpoints, guaranteeing monotonicity.
+    """
+    lo = jnp.min(image)
+    hi = jnp.max(image)
+    src = jnp.linspace(0.0, 1.0, num_control_points)
+    interior = jax.random.uniform(key, (num_control_points - 2,))
+    dst = jnp.concatenate([jnp.zeros(1), jnp.sort(interior), jnp.ones(1)])
+    span = hi - lo + 1e-7
+    norm = (image - lo) / span
+    shifted = jnp.interp(norm, src, dst)
+    return shifted * span + lo
+
+
+def random_coarse_dropout(
+    key, image, label, holes: int = 2, hole_size=(16, 16, 16), fill_value: float = 0.0
+):
+    """Zero out ``holes`` random boxes in image AND label (MONAI RandCoarseDropoutd)."""
+    spatial = image.shape[:3]
+    keep = jnp.ones(spatial, dtype=bool)
+    keys = jax.random.split(key, holes)
+    for h in range(holes):
+        ks = jax.random.split(keys[h], 3)
+        inside = jnp.ones(spatial, dtype=bool)
+        for ax in range(3):
+            start = jax.random.randint(
+                ks[ax], (), 0, max(spatial[ax] - hole_size[ax], 0) + 1
+            )
+            idx = jax.lax.broadcasted_iota(jnp.int32, spatial, ax)
+            inside &= (idx >= start) & (idx < start + hole_size[ax])
+        keep &= ~inside
+    image = jnp.where(keep[..., None], image, fill_value)
+    label = jnp.where(keep, label, jnp.array(int(fill_value), label.dtype))
+    return image, label
+
+
+@partial(jax.jit, static_argnames=("prob",))
+def augment_sample(key, image, label, prob: float = DEFAULT_PROB):
+    """Full reference augmentation pipeline for one (D,H,W,1)/(D,H,W) sample."""
+    k = jax.random.split(key, 10)
+    image = _maybe(k[0], prob, image, lambda im: random_bias_field(k[1], im))
+    image = _maybe(k[2], prob, image, lambda im: random_gaussian_noise(k[3], im))
+    image = _maybe(k[4], prob, image, lambda im: random_adjust_contrast(k[5], im))
+    image = _maybe(k[6], prob, image, lambda im: random_histogram_shift(k[7], im))
+    do_drop = jax.random.uniform(k[8]) < prob
+    dropped_img, dropped_lbl = random_coarse_dropout(k[9], image, label)
+    image = jnp.where(do_drop, dropped_img, image)
+    label = jnp.where(do_drop, dropped_lbl, label)
+    return image, label
+
+
+def augment_batch(key, images, labels, prob: float = DEFAULT_PROB):
+    """vmapped per-sample augmentation over the batch axis."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda k, i, l: augment_sample(k, i, l, prob))(keys, images, labels)

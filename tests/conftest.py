@@ -7,10 +7,18 @@ This is the TPU answer to "test multi-device without a cluster"
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the image pre-sets JAX_PLATFORMS=axon (remote TPU
+# relay) via sitecustomize, which wins over plain env vars; per-op
+# dispatch over the tunnel makes tests pathologically slow, and the
+# collectives tests need 8 virtual CPU devices anyway. jax.config is
+# the only override that sticks.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
