@@ -210,15 +210,26 @@ def io_orientation(affine: np.ndarray):
     non-degenerate affines (used by the reference's reorient_to_ras,
     scripts/resampling/amos_ct_resample.py:29-36).
     """
-    R = np.asarray(affine, dtype=np.float64)[:3, :3].copy()
-    ornt = np.full((3, 2), np.nan)
+    R = np.asarray(affine, dtype=np.float64)[:3, :3]
+    mag = np.abs(R)
+    ornt = np.zeros((3, 2), dtype=np.int64)
+    used_rows: set[int] = set()
+    used_cols: set[int] = set()
     for _ in range(3):
-        flat = np.nanargmax(np.abs(np.where(np.isnan(R), -np.inf, R)))
-        i, j = np.unravel_index(flat, R.shape)
-        ornt[j] = (i, 1.0 if R[i, j] > 0 else -1.0)
-        R[i, :] = np.nan
-        R[:, j] = np.nan
-    return ornt.astype(np.int64)
+        best = (-1.0, -1, -1)
+        for i in range(3):
+            if i in used_rows:
+                continue
+            for j in range(3):
+                if j in used_cols:
+                    continue
+                if mag[i, j] > best[0]:
+                    best = (mag[i, j], i, j)
+        _, i, j = best
+        ornt[j] = (i, 1 if R[i, j] > 0 else -1)
+        used_rows.add(i)
+        used_cols.add(j)
+    return ornt
 
 
 def reorient_to_ras(img: NiftiImage) -> NiftiImage:
