@@ -1,0 +1,80 @@
+"""Device mesh + sharding layout for the segmentation workloads.
+
+This replaces the reference's entire distributed runtime — HF
+Accelerate / torch DDP / NCCL process groups launched per rank
+(run_training.sh:66, train_unet.py:309-312,384-386) — with the
+single-controller JAX model:
+
+  * one ``Mesh`` with axes ``('data', 'spatial')``;
+  * the global batch is sharded over ``data`` (data parallelism: the
+    gradient all-reduce the reference gets from DDP becomes an XLA
+    psum inserted automatically because the batch axis is sharded);
+  * volumes can additionally be sharded over ``spatial`` along D:
+    XLA's SPMD partitioner inserts halo exchanges for the 3x3x3 convs
+    automatically. This is the conv-net equivalent of sequence
+    parallelism and is the memory escape hatch for full 192^3 volumes
+    (SURVEY.md section 2.10) — the reference has no model sharding at
+    all.
+  * parameters/optimizer state are replicated (at 5.6M params there is
+    nothing to gain from sharding them).
+
+Collectives ride ICI within a slice; for multi-host pods,
+``jax.distributed.initialize()`` extends the same mesh over DCN with no
+code changes here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_spatial: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices.
+
+    Default: all devices on the data axis. ``n_spatial > 1`` carves a
+    spatial-sharding axis for splitting the volume's D dimension.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None:
+        if n % n_spatial != 0:
+            raise ValueError(f"{n} devices not divisible by n_spatial={n_spatial}")
+        n_data = n // n_spatial
+    if n_data * n_spatial > n:
+        raise ValueError(
+            f"mesh {n_data}x{n_spatial} needs {n_data * n_spatial} devices, have {n}"
+        )
+    grid = np.array(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, D, H, W, ...) batches: batch over data, D over spatial."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays):
+    """device_put a batch (images, labels, ...) with the batch sharding."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate a pytree (TrainState) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
