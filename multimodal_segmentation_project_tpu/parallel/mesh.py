@@ -63,6 +63,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
 
 
+def eval_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for small eval batches (batch 1, test_model.py style):
+    replicate over data, still shard D over spatial."""
+    return NamedSharding(mesh, P(None, SPATIAL_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,161 @@
+"""End-to-end trainer tests on synthetic in-memory datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_segmentation_project_tpu.engine.trainer import (
+    DannTrainer,
+    Trainer,
+    TrainerConfig,
+)
+
+
+class BlobDataset:
+    """Synthetic segmentation task: bright cube = class 1, corner = 2."""
+
+    def __init__(self, n=4, seed=0, size=8):
+        rng = np.random.default_rng(seed)
+        self.items = []
+        for _ in range(n):
+            lbl = np.zeros((size, size, size), np.int32)
+            lbl[2:6, 2:6, 2:6] = 1
+            lbl[0:2, 0:2, 0:2] = 2
+            img = lbl[..., None] * 0.5 + rng.normal(0, 0.05, (size, size, size, 1))
+            self.items.append((img.astype(np.float32), lbl))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def small_cfg(tmp_path, name, **kw):
+    base = dict(
+        experiment_dir=str(tmp_path),
+        experiment_name=name,
+        epochs=2,
+        batch_size=2,
+        lr=3e-3,
+        loss="ce_tversky",
+        dropout_rate=0.0,
+        features=(4, 8),
+        precision="fp32",
+        remat=False,
+        num_workers=0,
+        verbose=False,
+        checkpoint_every=1,
+    )
+    base.update(kw)
+    return TrainerConfig(**base)
+
+
+def test_baseline_trainer_end_to_end(tmp_path):
+    cfg = small_cfg(tmp_path, "exp_test", use_scheduler=True, augment=True)
+    t = Trainer(cfg, BlobDataset(4), BlobDataset(2, seed=1))
+    summary = t.run()
+    assert summary["best_val_dice"] >= 0.0
+    root = os.path.join(str(tmp_path), "exp_test")
+    assert os.path.exists(os.path.join(root, "config.txt"))
+    assert os.path.exists(os.path.join(root, "logs", "train_log.csv"))
+    assert os.path.exists(os.path.join(root, "plots", "training_metrics.png"))
+    assert os.path.exists(os.path.join(root, "plots", "training_time.png"))
+    ckpts = os.listdir(os.path.join(root, "checkpoints"))
+    assert any(c.startswith("best_model_") for c in ckpts)
+    assert any(c.startswith("checkpoint_epoch") for c in ckpts)
+    with open(os.path.join(root, "logs", "train_log.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].split(",") == Trainer.CSV_COLUMNS
+    assert len(lines) == 3  # header + 2 epochs
+
+
+def test_trainer_resume(tmp_path):
+    cfg = small_cfg(tmp_path, "exp_resume", epochs=2)
+    t = Trainer(cfg, BlobDataset(2), BlobDataset(2, seed=1))
+    t.run()
+    ckpt_path = os.path.join(
+        str(tmp_path), "exp_resume", "checkpoints",
+        "checkpoint_epoch2_exp_resume.msgpack",
+    )
+    assert os.path.exists(ckpt_path)
+    cfg2 = small_cfg(tmp_path, "exp_resume", epochs=4, resume=ckpt_path)
+    t2 = Trainer(cfg2, BlobDataset(2), BlobDataset(2, seed=1))
+    assert t2.start_epoch == 2
+    summary = t2.run()
+    assert summary["epoch"] == 4
+
+
+def test_finetune_freeze_at_start(tmp_path):
+    # pretrain briefly, then fine-tune with frozen encoder+bottleneck
+    cfg = small_cfg(tmp_path, "exp_pre", epochs=1)
+    t = Trainer(cfg, BlobDataset(2), BlobDataset(2, seed=1))
+    t.run()
+    pre = os.path.join(
+        str(tmp_path), "exp_pre", "checkpoints", "best_model_exp_pre.msgpack"
+    )
+    cfg2 = small_cfg(
+        tmp_path,
+        "exp_ft",
+        epochs=1,
+        pretrained_model=pre,
+        freeze_at_start=True,
+        freeze_prefixes=("enc", "bottleneck"),
+        log_name="finetune_log.csv",
+    )
+    t2 = Trainer(cfg2, BlobDataset(2), BlobDataset(2, seed=1))
+    import jax
+
+    enc0 = jax.tree.map(
+        np.asarray,
+        {k: v for k, v in t2.state.params.items() if k.startswith(("enc", "bottleneck"))},
+    )
+    t2.run()
+    enc1 = {
+        k: v for k, v in t2.state.params.items() if k.startswith(("enc", "bottleneck"))
+    }
+    for a, b in zip(jax.tree.leaves(enc0), jax.tree.leaves(enc1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distill_trainer(tmp_path):
+    from multimodal_segmentation_project_tpu.ops.losses import distillation_loss
+
+    # teacher = quickly pretrained model
+    cfg_t = small_cfg(tmp_path, "exp_teacher", epochs=1)
+    tt = Trainer(cfg_t, BlobDataset(2), BlobDataset(2, seed=1))
+    tt.run()
+    teacher_vars = {
+        "params": tt.state.params,
+        "batch_stats": tt.state.batch_stats,
+    }
+    cfg = small_cfg(tmp_path, "exp_kd", epochs=1, log_name="distill_log.csv")
+    kd = lambda s, tch, y: distillation_loss(s, tch, y, alpha=0.7, temperature=2.0)
+    t = Trainer(
+        cfg,
+        BlobDataset(2),
+        BlobDataset(2, seed=1),
+        teacher_variables=teacher_vars,
+        kd_loss_fn=kd,
+    )
+    summary = t.run()
+    assert np.isfinite(summary["train"]["loss"])
+
+
+def test_dann_trainer(tmp_path):
+    cfg = small_cfg(tmp_path, "dann_test", epochs=2, log_name="train_log.csv")
+    t = DannTrainer(
+        cfg,
+        source_dataset=BlobDataset(3),
+        target_dataset=BlobDataset(3, seed=5),
+        val_dataset=BlobDataset(2, seed=1),
+        lambda_domain=0.2,
+    )
+    summary = t.run()
+    assert np.isfinite(summary["train"]["task_loss"])
+    assert np.isfinite(summary["train"]["domain_loss"])
+    log = os.path.join(str(tmp_path), "dann_test", "logs", "train_log.csv")
+    with open(log) as f:
+        header = f.readline().strip().split(",")
+    assert header == DannTrainer.CSV_COLUMNS
