@@ -1,0 +1,205 @@
+"""Full-pipeline CLI tests: every workload driver end-to-end on synthetic
+NIfTI fixtures (train -> finetune -> distill -> dann -> eval)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_segmentation_project_tpu.data.nifti import load_nifti, save_nifti
+from multimodal_segmentation_project_tpu.workloads import (
+    distill_unet,
+    finetune_ct,
+    test_model,
+    train_dann,
+    train_unet,
+)
+from multimodal_segmentation_project_tpu.workloads.main import main as orchestrate
+
+SIZE = 8
+
+
+def write_cases(root, dataset, n, seed):
+    rng = np.random.default_rng(seed)
+    img_dir = root / dataset / "images"
+    lbl_dir = root / dataset / "labels"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    lbl_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        lbl = np.zeros((SIZE, SIZE, SIZE), np.int16)
+        lbl[2:6, 2:6, 2:6] = 1
+        lbl[0:2, 0:2, 0:2] = 2
+        img = lbl.astype(np.float32) * 200 + rng.normal(0, 20, lbl.shape)
+        save_nifti(img.astype(np.float32), str(img_dir / f"c{i:02d}.nii.gz"))
+        save_nifti(lbl, str(lbl_dir / f"c{i:02d}.nii.gz"))
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nifti_data")
+    for split, n in [("train", 3), ("val", 2), ("test", 2), ("target", 2),
+                     ("dann_add_labeled", 1), ("dann_add_unlabeled", 1)]:
+        write_cases(root / split, "synth_ct", n, seed=hash(split) % 1000)
+        write_cases(root / split, "synth_mri", n, seed=hash(split) % 1000 + 1)
+    return root
+
+
+def base_argv(data_root, exp_dir, extra=()):
+    return [
+        "--data_root", str(data_root),
+        "--experiment_dir", str(exp_dir),
+        "--batch_size", "2",
+        "--epochs", "1",
+        "--features", "4,8",
+        "--mixed_precision", "no",
+        "--no_remat",
+        "--num_workers", "0",
+        "--dropout_rate", "0.0",
+        *extra,
+    ]
+
+
+def find_best(exp_dir, prefix):
+    for sub in os.listdir(exp_dir):
+        cdir = os.path.join(exp_dir, sub, "checkpoints")
+        if os.path.isdir(cdir):
+            for f in os.listdir(cdir):
+                if f.startswith(prefix) and f.endswith(".msgpack"):
+                    return os.path.join(cdir, f)
+    raise FileNotFoundError(f"{prefix} under {exp_dir}")
+
+
+def test_train_then_eval(data_root, tmp_path):
+    exp = tmp_path / "exp"
+    args = train_unet.build_parser().parse_args(
+        base_argv(data_root, exp, ["--loss", "ce_tversky"])
+    )
+    summary = train_unet.main(args)
+    assert np.isfinite(summary["train"]["loss"])
+    best = find_best(exp, "best_model")
+
+    eval_args = test_model.build_parser().parse_args([
+        "--model_path", best,
+        "--data_root", str(data_root),
+        "--experiment_dir", str(exp),
+        "--model_name", "unet_test",
+        "--precision", "fp32",
+    ])
+    # features must match the trained model
+    eval_args.features = "4,8"
+    overall = _eval_with_features(eval_args)
+    assert "mean_dice_overall" in overall
+    results = [d for d in os.listdir(exp) if d.startswith("test_results_unet_test")]
+    assert results
+    rd = os.path.join(exp, results[0])
+    assert os.path.exists(os.path.join(rd, "metrics", "metrics.json"))
+    assert os.path.exists(os.path.join(rd, "metrics", "per_sample_metrics.csv"))
+    preds = os.listdir(os.path.join(rd, "predictions"))
+    assert len(preds) == 4  # 2 ct + 2 mri test cases
+    # prediction NIfTI round-trips with original geometry
+    img = load_nifti(os.path.join(rd, "predictions", preds[0]))
+    assert img.data.shape == (SIZE, SIZE, SIZE)
+    vis = os.listdir(os.path.join(rd, "visualizations"))
+    assert len(vis) == 4
+
+
+def _eval_with_features(eval_args):
+    # test_model builds the model from TrainerConfig defaults; patch in
+    # the tiny test widths
+    from multimodal_segmentation_project_tpu.workloads import test_model as tm
+    from multimodal_segmentation_project_tpu.engine import trainer as trainer_mod
+
+    orig = trainer_mod.build_model
+
+    def patched(cfg):
+        object.__setattr__ if False else None
+        cfg2 = trainer_mod.TrainerConfig(**{**cfg.__dict__, "features": (4, 8)})
+        return orig(cfg2)
+
+    trainer_mod.build_model = patched
+    tm.build_model = patched
+    try:
+        return tm.main(eval_args)
+    finally:
+        trainer_mod.build_model = orig
+        tm.build_model = orig
+
+
+def test_finetune_from_pretrained(data_root, tmp_path):
+    exp = tmp_path / "exp"
+    train_unet.main(
+        train_unet.build_parser().parse_args(base_argv(data_root, exp))
+    )
+    best = find_best(exp, "best_model")
+    ft_exp = tmp_path / "ft"
+    args = finetune_ct.build_parser().parse_args(
+        base_argv(data_root, ft_exp, [
+            "--pretrained_model", best,
+            "--freeze_encoder",
+            "--n_samples", "2",
+        ])
+    )
+    summary = finetune_ct.main(args)
+    assert np.isfinite(summary["train"]["loss"])
+    ft_dirs = os.listdir(ft_exp)
+    assert any(d.startswith("finetune_") for d in ft_dirs)
+    log = os.path.join(ft_exp, ft_dirs[0], "logs", "finetune_log.csv")
+    assert os.path.exists(log)
+
+
+def test_distill_from_teacher(data_root, tmp_path):
+    exp = tmp_path / "exp"
+    train_unet.main(
+        train_unet.build_parser().parse_args(base_argv(data_root, exp))
+    )
+    best = find_best(exp, "best_model")
+    kd_exp = tmp_path / "kd"
+    args = distill_unet.build_parser().parse_args(
+        base_argv(data_root, kd_exp, [
+            "--teacher_model", best,
+            "--alpha", "0.7",
+            "--temperature", "2.0",
+        ])
+    )
+    summary = distill_unet.main(args)
+    assert np.isfinite(summary["train"]["loss"])
+    assert find_best(kd_exp, "best_student")
+
+
+def test_dann_two_stream(data_root, tmp_path):
+    exp = tmp_path / "dann"
+    args = train_dann.build_parser().parse_args(
+        base_argv(data_root, exp, [
+            "--source_modality", "mri",
+            "--target_modality", "ct",
+            "--lambda_domain", "0.2",
+            "--n_add_source", "1",
+        ])
+    )
+    summary = train_dann.main(args)
+    assert np.isfinite(summary["train"]["task_loss"])
+    assert np.isfinite(summary["train"]["domain_loss"])
+
+
+def test_orchestrator_routes_train(data_root, tmp_path):
+    exp = tmp_path / "orch"
+    orchestrate([
+        "--experiment", "train",
+        "--data_root", str(data_root),
+        "--experiment_dir", str(exp),
+        "--batch_size", "2",
+        "--epochs", "1",
+        "--features", "4,8",
+        "--no_remat",
+        "--num_workers", "0",
+        "--loss", "ce_tversky",
+    ])
+    assert any(d.startswith("exp_") for d in os.listdir(exp))
+
+
+def test_orchestrator_stubs(capsys):
+    orchestrate(["--experiment", "transfer"])
+    orchestrate(["--experiment", "cyclegan"])
+    out = capsys.readouterr().out
+    assert "not implemented" in out
