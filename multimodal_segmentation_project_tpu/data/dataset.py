@@ -19,8 +19,9 @@ Differences from the reference (deliberate):
   * pure numpy host code, no torch tensors, no internal Accelerator()
     instance (the reference constructs one just to gate prints,
     utils/dataloader.py:34);
-  * samples are returned channel-LAST ``(D, H, W, 1)`` float32 image +
-    ``(D, H, W)`` int32 label — the TPU-native layout;
+  * samples are returned CHANNEL-FIRST ``(1, D, H, W)`` float32 image
+    + ``(D, H, W)`` int32 label — the reference's torch layout, which
+    is also TPU-storage-friendly (spatial dims minor);
   * augmentation happens on-device inside the jitted train step
     (ops/augment.py), not here.
 """
@@ -150,8 +151,8 @@ class CombinedDataset:
             image = preprocess_mri(image)
         label = harmonize_labels(label, s.dataset_name)
 
-        # channel-last: (D, H, W, 1) image, (D, H, W) int32 label
-        return image[..., None], label.astype(np.int32)
+        # channel-first: (1, D, H, W) image, (D, H, W) int32 label
+        return image[None], label.astype(np.int32)
 
 
 class Subset:

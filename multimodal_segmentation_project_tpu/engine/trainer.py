@@ -264,12 +264,16 @@ class Trainer:
         return jax.random.fold_in(jax.random.fold_in(self._base_key, epoch), step)
 
     def _put_train(self, images, labels):
-        sh = batch_sharding(self.mesh)
-        return jax.device_put(images, sh), jax.device_put(labels, sh)
+        return (
+            jax.device_put(images, batch_sharding(self.mesh, images.ndim)),
+            jax.device_put(labels, batch_sharding(self.mesh, labels.ndim)),
+        )
 
     def _put_eval(self, images, labels):
-        sh = eval_sharding(self.mesh)
-        return jax.device_put(images, sh), jax.device_put(labels, sh)
+        return (
+            jax.device_put(images, eval_sharding(self.mesh, images.ndim)),
+            jax.device_put(labels, eval_sharding(self.mesh, labels.ndim)),
+        )
 
     @staticmethod
     def _accumulate(total, metrics):
@@ -508,7 +512,7 @@ class DannTrainer(Trainer):
             zip(self.train_loader, self.target_loader)
         ):
             src_img, src_lbl = self._put_train(src_img, src_lbl)
-            tgt_img = jax.device_put(tgt_img, batch_sharding(self.mesh))
+            tgt_img = jax.device_put(tgt_img, batch_sharding(self.mesh, tgt_img.ndim))
             key = self._step_key(epoch, step_idx)
             self.state, self.disc_state, metrics = self.dann_step(
                 self.state, self.disc_state, src_img, src_lbl, tgt_img, key

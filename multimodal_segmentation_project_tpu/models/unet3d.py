@@ -1,4 +1,5 @@
-"""TPU-native 3D U-Net in Flax (linen), channel-last NDHWC.
+"""TPU-native 3D U-Net in Flax (linen) — channel-first boundaries,
+channel-last compute interiors.
 
 Capability parity with the reference models (models/unet.py:6-90 and
 models/unet_dann.py:65-98 of fransiskusbudi/multimodal_segmentation_project):
@@ -10,23 +11,38 @@ optional global-average-pooled bottleneck feature vector for the DANN
 domain head (models/unet_dann.py:76-79) — one model class serves both
 (the reference keeps two near-identical copies).
 
-TPU-first design choices (not a translation):
-  * NDHWC layout — XLA's native conv layout on TPU; the reference is
-    NCDHW (cuDNN-preferred).
-  * bf16 compute / fp32 params via the ``dtype`` attribute; BN
-    statistics are accumulated in fp32 by flax regardless of dtype.
-    No GradScaler needed (the reference hand-rolls fp16 scaling,
-    train_dann.py:240-265).
-  * optional activation rematerialization (``remat=True``) on the
-    DoubleConv blocks — the memory lever for full 192^3 volumes,
-    replacing the reference's "batch 1 + fp16 + small widths" coping
-    strategy (SURVEY.md section 5.7).
-  * BatchNorm under data parallelism: with jit + a sharded batch axis,
-    XLA computes GLOBAL batch statistics (sync-BN). The reference's DDP
-    default is per-replica stats; with per-device batch 1 this is a
-    conscious, documented divergence (sync-BN is strictly more stable).
+Memory architecture (the load-bearing TPU decision):
+  TPU vector memory tiles are (sublane, lane) = (8|16, 128): ANY tensor
+  whose minor dimension is a small channel count is lane-padded to 128.
+  For this model (C = 1/4/16/32) a channels-minor activation layout
+  inflates every stored buffer 4-128x — measured 19.98 GB for the
+   192^3 train step, far past the 15.75 GB HBM of a v5e chip.
+
+  The fix used here: the PUBLIC layout and every tensor that lives
+  across a block boundary (input volume, skip connections, logits —
+  i.e. everything autodiff stores as a residual) is CHANNEL-FIRST
+  (B, C, D, H, W), whose minor dims are large spatial extents (padding
+  <= 1.33x). Convolutions still run in XLA's MXU-preferred
+  channels-last form INSIDE each rematerialized block: the block
+  transposes in, computes, transposes out, and `nn.remat` makes the
+  padded intermediates transient — they exist only while one block's
+  kernels run and are recomputed in the backward pass. Net effect:
+  the 192^3 bf16 train step fits in ~half of HBM instead of OOMing,
+  at the cost of two cheap layout copies per block.
+
+  (Channel-first is also exactly the reference's public torch NCDHW
+  layout, so the loss/metric APIs line up 1:1.)
+
+Other TPU-first choices:
+  * bf16 compute / fp32 params via ``dtype``; BN statistics accumulate
+    in fp32 inside flax. No GradScaler (the reference hand-rolls fp16
+    scaling, train_dann.py:240-265).
+  * 1x1x1 output head as a channel-first einsum (never materializes a
+    4-channel channels-minor volume).
   * Dropout matches torch nn.Dropout3d channel-wise semantics via
     ``broadcast_dims`` over the spatial axes.
+  * BatchNorm under a sharded batch axis is global-batch sync-BN (the
+    reference's DDP default is per-replica stats; documented divergence).
 """
 
 from __future__ import annotations
@@ -38,9 +54,17 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+TO_LAST = (0, 2, 3, 4, 1)  # (B, C, D, H, W) -> (B, D, H, W, C)
+TO_FIRST = (0, 4, 1, 2, 3)  # (B, D, H, W, C) -> (B, C, D, H, W)
+
 
 class DoubleConv(nn.Module):
-    """[Conv3d(3x3x3, SAME) -> BatchNorm -> ReLU -> Dropout3d] x 2."""
+    """[Conv3d(3x3x3, SAME) -> BatchNorm -> ReLU -> Dropout3d] x 2.
+
+    Channel-first in/out; channels-last compute inside (see module
+    docstring). Designed to sit under nn.remat so the padded interior
+    never outlives the block.
+    """
 
     features: int
     dropout_rate: float = 0.1
@@ -48,6 +72,7 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = jnp.transpose(x, TO_LAST).astype(self.dtype)
         for i in range(2):
             x = nn.Conv(
                 self.features,
@@ -75,18 +100,84 @@ class DoubleConv(nn.Module):
                     deterministic=not train,
                     name=f"drop{i}",
                 )(x)
-        return x
+        return jnp.transpose(x, TO_FIRST)
+
+
+class UpConv(nn.Module):
+    """2x2x2 stride-2 transpose conv, channel-first boundary."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = jnp.transpose(x, TO_LAST).astype(self.dtype)
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(2, 2, 2),
+            strides=(2, 2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal(),
+            name="tconv",
+        )(x)
+        return jnp.transpose(x, TO_FIRST)
+
+
+class DecoderStage(nn.Module):
+    """One decoder level: upsample -> (resize guard) -> skip concat ->
+    DoubleConv, fused into a single remat scope.
+
+    Keeping the whole stage in one checkpointed block means autodiff
+    saves only the HALF-resolution stage input and the skip — not the
+    full-resolution upconv output and concat (two lane-padded buffers
+    that dominated HBM when checkpointing per-DoubleConv).
+    """
+
+    features: int
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
+        x = UpConv(self.features, self.dtype, name="up")(x)
+        if x.shape[2:] != skip.shape[2:]:
+            # shape guard for odd input sizes (models/unet.py:81-83);
+            # static shapes, so this resolves at trace time.
+            x = jax.image.resize(
+                x, x.shape[:2] + skip.shape[2:], method="trilinear"
+            ).astype(self.dtype)
+        x = jnp.concatenate([skip, x], axis=1)
+        return DoubleConv(self.features, self.dropout_rate, self.dtype, name="conv")(
+            x, train
+        )
+
+
+def max_pool_cf(x: jax.Array) -> jax.Array:
+    """2x stride-2 max pool on (B, C, D, H, W) — no layout change needed."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, 1, 2, 2, 2),
+        (1, 1, 2, 2, 2),
+        "VALID",
+    )
 
 
 class UNet3D(nn.Module):
-    """3D U-Net for volumetric segmentation (NDHWC in, fp32 logits out).
+    """3D U-Net for volumetric segmentation.
+
+    Input ``(B, C_in, D, H, W)`` (the reference's torch layout,
+    models/unet.py:64), fp32 logits ``(B, out_channels, D, H, W)``.
 
     Args mirror the reference constructor (models/unet.py:34-37):
       out_channels: number of classes (4: bg/spleen/liver/kidneys).
       features: encoder widths; bottleneck is features[-1]*2.
       dropout_rate: channel-dropout rate inside DoubleConv.
       dtype: compute dtype (bf16 on TPU; params stay fp32).
-      remat: checkpoint DoubleConv activations (memory vs FLOPs).
+      remat: checkpoint the conv blocks (memory vs FLOPs; required for
+        full-volume 192^3 training on one chip).
     """
 
     in_channels: int = 1
@@ -104,23 +195,18 @@ class UNet3D(nn.Module):
         train: bool = False,
         return_features: bool = False,
     ):
-        """Forward pass.
-
-        x: (B, D, H, W, C_in). Returns fp32 logits (B, D, H, W, out_channels);
-        with ``return_features=True`` also the fp32 global-average-pooled
-        bottleneck (B, features[-1]*2) for the DANN domain head.
-        """
-        block_cls = DoubleConv
+        block_cls, stage_cls = DoubleConv, DecoderStage
         if self.remat:
-            # arg 0 is the module instance; 2 is the static `train` flag
+            # arg 0 is the module instance; trailing `train` flag is static
             block_cls = nn.remat(DoubleConv, static_argnums=(2,))
+            stage_cls = nn.remat(DecoderStage, static_argnums=(3,))
 
         x = x.astype(self.dtype)
         skips = []
         for i, feats in enumerate(self.features):
             x = block_cls(feats, self.dropout_rate, self.dtype, name=f"enc{i}")(x, train)
             skips.append(x)
-            x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+            x = max_pool_cf(x)
 
         x = block_cls(
             self.features[-1] * 2, self.dropout_rate, self.dtype, name="bottleneck"
@@ -128,35 +214,27 @@ class UNet3D(nn.Module):
 
         bottleneck_gap = None
         if return_features:
-            bottleneck_gap = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+            bottleneck_gap = jnp.mean(x.astype(jnp.float32), axis=(2, 3, 4))
 
         for i, feats in enumerate(reversed(self.features)):
-            x = nn.ConvTranspose(
-                feats,
-                kernel_size=(2, 2, 2),
-                strides=(2, 2, 2),
-                padding="VALID",
-                dtype=self.dtype,
-                kernel_init=nn.initializers.he_normal(),
-                name=f"up{i}",
-            )(x)
-            skip = skips[-(i + 1)]
-            if x.shape[1:4] != skip.shape[1:4]:
-                # shape guard for odd input sizes (models/unet.py:81-83);
-                # static shapes, so this resolves at trace time.
-                x = jax.image.resize(
-                    x, skip.shape[:4] + (x.shape[-1],), method="trilinear"
-                ).astype(self.dtype)
-            x = jnp.concatenate([skip, x], axis=-1)
-            x = block_cls(feats, self.dropout_rate, self.dtype, name=f"dec{i}")(x, train)
+            x = stage_cls(feats, self.dropout_rate, self.dtype, name=f"dec{i}")(
+                x, skips[-(i + 1)], train
+            )
 
-        x = nn.Conv(
-            self.out_channels,
-            kernel_size=(1, 1, 1),
-            dtype=self.dtype,
-            name="final_conv",
-        )(x)
-        logits = x.astype(jnp.float32)
+        # 1x1x1 head as channel-first einsum: a (.., 4)-minor conv output
+        # would be lane-padded 32x (see module docstring).
+        kernel = self.param(
+            "head_kernel",
+            nn.initializers.lecun_normal(),
+            (self.features[0], self.out_channels),
+            jnp.float32,
+        )
+        bias = self.param(
+            "head_bias", nn.initializers.zeros_init(), (self.out_channels,), jnp.float32
+        )
+        logits = jnp.einsum(
+            "bidhw,io->bodhw", x.astype(jnp.float32), kernel
+        ) + bias.reshape(1, -1, 1, 1, 1)
 
         if return_features:
             return logits, bottleneck_gap

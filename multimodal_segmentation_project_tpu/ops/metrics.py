@@ -1,4 +1,4 @@
-"""Segmentation metrics as vectorized jitted JAX functions.
+"""Segmentation metrics as vectorized jitted JAX functions (channel-first).
 
 Parity targets in the reference (fransiskusbudi/multimodal_segmentation_project):
   * ``calculate_dice``     -> utils/metrics.py:92-117
@@ -7,7 +7,7 @@ Parity targets in the reference (fransiskusbudi/multimodal_segmentation_project)
   * per-organ eval metrics -> test_model.py:265-285
 
 Semantics preserved exactly:
-  * argmax over the class axis first;
+  * argmax over the class axis (axis 1, the reference's torch layout);
   * macro average over foreground classes PRESENT in the target only
     (absent classes are skipped during training metrics);
   * eps = 1e-5 added to both numerator and denominator;
@@ -19,8 +19,8 @@ Semantics preserved exactly:
 
 The reference loops ``range(1, pred.size(1))`` which, post-argmax, is a
 spatial dim (a benign but wasteful quirk, utils/metrics.py:78,105); here
-the classes are vectorized with one-hot sums — identical numerics, no
-Python loop, fully fusable by XLA.
+the classes are vectorized with broadcast-compare masks at axis 1 —
+identical numerics, no Python loop, spatial-minor (unpadded) buffers.
 """
 
 from __future__ import annotations
@@ -29,26 +29,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _confusion_sums(pred_classes: jax.Array, labels: jax.Array, num_classes: int):
-    """Global per-class (intersection, pred_sum, target_sum) for classes 1..C-1.
+def _class_masks(x: jax.Array, num_classes: int) -> jax.Array:
+    """(B, C-1, *spatial) f32 mask per foreground class, class axis at 1."""
+    classes = jnp.arange(1, num_classes).reshape((1, -1) + (1,) * (x.ndim - 1))
+    return (x[:, None] == classes).astype(jnp.float32)
 
-    Computed via one-hot masks in f32; sums are over batch + spatial,
-    matching the reference's whole-tensor ``.sum()`` reductions.
-    """
-    pred_oh = jax.nn.one_hot(pred_classes, num_classes, dtype=jnp.float32)[..., 1:]
-    targ_oh = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)[..., 1:]
-    axes = tuple(range(pred_oh.ndim - 1))
-    inter = jnp.sum(pred_oh * targ_oh, axis=axes)
-    psum = jnp.sum(pred_oh, axis=axes)
-    tsum = jnp.sum(targ_oh, axis=axes)
+
+def _confusion_sums(pred_classes: jax.Array, labels: jax.Array, num_classes: int):
+    """Global per-class (intersection, pred_sum, target_sum) for classes 1..C-1."""
+    pred_m = _class_masks(pred_classes, num_classes)
+    targ_m = _class_masks(labels, num_classes)
+    axes = (0,) + tuple(range(2, pred_m.ndim))
+    inter = jnp.sum(pred_m * targ_m, axis=axes)
+    psum = jnp.sum(pred_m, axis=axes)
+    tsum = jnp.sum(targ_m, axis=axes)
     return inter, psum, tsum
 
 
 def calculate_dice(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) -> jax.Array:
     """Macro dice over foreground classes present in target (utils/metrics.py:92-117)."""
-    num_classes = logits.shape[-1]
-    pred = jnp.argmax(logits, axis=-1)
-    inter, psum, tsum = _confusion_sums(pred, labels, num_classes)
+    pred = jnp.argmax(logits, axis=1)
+    inter, psum, tsum = _confusion_sums(pred, labels, logits.shape[1])
     present = tsum > 0
     dice = (2.0 * inter + epsilon) / (psum + tsum + epsilon)
     valid = jnp.sum(present)
@@ -57,9 +58,8 @@ def calculate_dice(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) 
 
 def calculate_iou(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) -> jax.Array:
     """Macro IoU over foreground classes present in target (utils/metrics.py:65-90)."""
-    num_classes = logits.shape[-1]
-    pred = jnp.argmax(logits, axis=-1)
-    inter, psum, tsum = _confusion_sums(pred, labels, num_classes)
+    pred = jnp.argmax(logits, axis=1)
+    inter, psum, tsum = _confusion_sums(pred, labels, logits.shape[1])
     present = tsum > 0
     union = psum + tsum - inter
     iou = (inter + epsilon) / (union + epsilon)
@@ -69,19 +69,18 @@ def calculate_iou(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) -
 
 def calculate_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Voxel accuracy after argmax (utils/metrics.py:119-129)."""
-    pred = jnp.argmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=1)
     return jnp.mean((pred == labels).astype(jnp.float32))
 
 
 def segmentation_metrics(logits: jax.Array, labels: jax.Array) -> dict[str, jax.Array]:
-    """dice/iou/accuracy in one pass (shares the argmax + one-hot sums).
+    """dice/iou/accuracy in one pass (shares the argmax + mask sums).
 
     This is the fused on-device replacement for the reference's three
     separate metric calls + per-step NCCL gather (train_unet.py:229-238).
     """
-    num_classes = logits.shape[-1]
-    pred = jnp.argmax(logits, axis=-1)
-    inter, psum, tsum = _confusion_sums(pred, labels, num_classes)
+    pred = jnp.argmax(logits, axis=1)
+    inter, psum, tsum = _confusion_sums(pred, labels, logits.shape[1])
     present = tsum > 0
     valid = jnp.maximum(jnp.sum(present), 1)
     eps = 1e-5

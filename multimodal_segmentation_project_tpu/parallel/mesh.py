@@ -58,15 +58,27 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for (B, D, H, W, ...) batches: batch over data, D over spatial."""
-    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Sharding for a batch array: batch over data, volume D over spatial.
+
+    Channel-first layout: images are (B, C, D, H, W) (D at axis 2),
+    labels are (B, D, H, W) (D at axis 1).
+    """
+    if ndim >= 5:
+        spec = P(DATA_AXIS, None, SPATIAL_AXIS)
+    else:
+        spec = P(DATA_AXIS, SPATIAL_AXIS)
+    return NamedSharding(mesh, spec)
 
 
-def eval_sharding(mesh: Mesh) -> NamedSharding:
+def eval_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Sharding for small eval batches (batch 1, test_model.py style):
     replicate over data, still shard D over spatial."""
-    return NamedSharding(mesh, P(None, SPATIAL_AXIS))
+    if ndim >= 5:
+        spec = P(None, None, SPATIAL_AXIS)
+    else:
+        spec = P(None, SPATIAL_AXIS)
+    return NamedSharding(mesh, spec)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -75,8 +87,9 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch_arrays(mesh: Mesh, *arrays):
     """device_put a batch (images, labels, ...) with the batch sharding."""
-    sh = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, sh) for a in arrays)
+    out = tuple(
+        jax.device_put(a, batch_sharding(mesh, ndim=np.ndim(a))) for a in arrays
+    )
     return out if len(out) > 1 else out[0]
 
 

@@ -128,8 +128,8 @@ def make_predict_fn(model):
     @jax.jit
     def predict(variables, images, labels):
         logits = model.apply(variables, images, train=False)
-        pred = jnp.argmax(logits, axis=-1)
-        organ = per_class_dice_iou(pred, labels, num_classes=logits.shape[-1])
+        pred = jnp.argmax(logits, axis=1)
+        organ = per_class_dice_iou(pred, labels, num_classes=logits.shape[1])
         return pred, organ
 
     return predict
@@ -190,7 +190,7 @@ def test_model(variables, model, test_dataset, args, results_dir) -> dict:
 
             if not args.no_visualizations:
                 visualize_prediction(
-                    images[0, ..., 0], labels[0], pred[0],
+                    images[0, 0], labels[0], pred[0],
                     os.path.join(visualizations_dir, f"{original_filename}_pred.png"),
                 )
             if not args.no_predictions:

@@ -31,7 +31,7 @@ def rng():
 
 @pytest.fixture
 def logits_labels(rng):
-    """Small random multi-class volume batch: logits (B,D,H,W,C), labels (B,D,H,W)."""
-    logits = rng.normal(size=(2, 8, 8, 8, 4)).astype(np.float32)
+    """Small random multi-class volume batch: logits (B,C,D,H,W), labels (B,D,H,W)."""
+    logits = rng.normal(size=(2, 4, 8, 8, 8)).astype(np.float32)
     labels = rng.integers(0, 4, size=(2, 8, 8, 8)).astype(np.int32)
     return logits, labels

@@ -11,7 +11,7 @@ from multimodal_segmentation_project_tpu.ops import augment
 
 @pytest.fixture
 def sample(rng):
-    img = rng.uniform(0, 1, size=(8, 8, 8, 1)).astype(np.float32)
+    img = rng.uniform(0, 1, size=(1, 8, 8, 8)).astype(np.float32)
     lbl = rng.integers(0, 4, size=(8, 8, 8)).astype(np.int32)
     return jnp.array(img), jnp.array(lbl)
 
@@ -57,7 +57,7 @@ def test_bias_field_positive_multiplicative(sample):
 
 
 def test_gaussian_noise_statistics():
-    img = jnp.zeros((16, 16, 16, 1))
+    img = jnp.zeros((1, 16, 16, 16))
     out = augment.random_gaussian_noise(jax.random.key(2), img, std=0.01)
     assert abs(float(jnp.std(out)) - 0.01) < 0.002
 
@@ -80,7 +80,7 @@ def test_histogram_shift_monotone(sample):
 
 
 def test_coarse_dropout_zeroes_image_and_label():
-    img = jnp.ones((32, 32, 32, 1))
+    img = jnp.ones((1, 32, 32, 32))
     lbl = jnp.ones((32, 32, 32), jnp.int32)
     out_img, out_lbl = augment.random_coarse_dropout(jax.random.key(6), img, lbl)
     n_img_zero = int(jnp.sum(out_img == 0.0))
@@ -90,7 +90,7 @@ def test_coarse_dropout_zeroes_image_and_label():
 
 
 def test_batch_augment_per_sample_independent(rng):
-    imgs = jnp.array(rng.uniform(0, 1, size=(2, 8, 8, 8, 1)).astype(np.float32))
+    imgs = jnp.array(rng.uniform(0, 1, size=(2, 1, 8, 8, 8)).astype(np.float32))
     lbls = jnp.zeros((2, 8, 8, 8), jnp.int32)
     out_imgs, _ = augment.augment_batch(jax.random.key(8), imgs, lbls, prob=1.0)
     # the two samples get different random transforms

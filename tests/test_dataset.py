@@ -97,7 +97,7 @@ def test_combined_dataset_walk_and_filter(split_dir):
 def test_getitem_shapes_and_remap(split_dir):
     d = ds.CombinedDataset(split_dir, modalities=["ct"], verbose=False)
     img, lbl = d[0]
-    assert img.shape == (16, 16, 16, 1) and img.dtype == np.float32
+    assert img.shape == (1, 16, 16, 16) and img.dtype == np.float32
     assert lbl.shape == (16, 16, 16) and lbl.dtype == np.int32
     assert set(np.unique(lbl)) <= {0, 1, 2, 3}
     assert img.min() >= 0.0 and img.max() <= 1.0
@@ -117,7 +117,7 @@ def test_concat_dataset(split_dir):
     cat = ds.ConcatDataset([d1, d2])
     assert len(cat) == 4
     img, _ = cat[3]
-    assert img.shape == (16, 16, 16, 1)
+    assert img.shape == (1, 16, 16, 16)
 
 
 @pytest.mark.parametrize("num_workers", [0, 2])
@@ -127,7 +127,7 @@ def test_dataloader_batches(split_dir, num_workers):
     batches = list(loader)
     assert len(batches) == 2
     imgs, lbls = batches[0]
-    assert imgs.shape == (2, 16, 16, 16, 1)
+    assert imgs.shape == (2, 1, 16, 16, 16)
     assert lbls.shape == (2, 16, 16, 16)
 
 

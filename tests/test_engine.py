@@ -28,7 +28,7 @@ MODEL_KW = dict(out_channels=4, features=(4, 8), dropout_rate=0.0, dtype=jnp.flo
 def tiny_state(lr=1e-2, accum=1, dropout=0.0, seed=0):
     model = UNet3D(**{**MODEL_KW, "dropout_rate": dropout})
     tx = make_optimizer(weight_decay=1e-4, grad_accum_steps=accum)
-    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    x = jnp.zeros((1, 1, 8, 8, 8), jnp.float32)
     return create_train_state(model, jax.random.key(seed), x, tx, lr)
 
 
@@ -37,7 +37,7 @@ def synth_batch(n=2, seed=0):
     labels = np.zeros((n, 8, 8, 8), np.int32)
     labels[:, 2:6, 2:6, 2:6] = 1
     labels[:, 0:2, 0:2, 0:2] = 2
-    images = labels[..., None] * 0.4 + rng.normal(0, 0.05, (n, 8, 8, 8, 1))
+    images = labels[:, None] * 0.4 + rng.normal(0, 0.05, (n, 1, 8, 8, 8))
     return jnp.array(images, jnp.float32), jnp.array(labels)
 
 
@@ -116,7 +116,7 @@ def test_freeze_mask_structure():
         {k: v for k, v in mask.items() if k.startswith(("enc", "bottleneck"))}
     )
     assert all(float(x) == 0.0 for x in flat)
-    assert all(float(x) == 1.0 for x in jax.tree.leaves(mask["final_conv"]))
+    assert all(float(x) == 1.0 for x in jax.tree.leaves(mask["head_kernel"]))
 
 
 def test_plateau_scheduler_reference_semantics():

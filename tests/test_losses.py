@@ -1,8 +1,9 @@
 """Numerical-parity tests of losses against independent numpy oracles.
 
 The oracles re-derive the reference formulas (utils/metrics.py of the
-reference repo) in vectorized numpy, so any transcription error in the
-JAX implementation or the oracle shows up as a mismatch.
+reference repo) in vectorized numpy (channel-LAST internally), so any
+transcription error in the JAX implementation (channel-FIRST, the
+torch/reference layout) or the oracle shows up as a mismatch.
 """
 
 import numpy as np
@@ -13,7 +14,12 @@ import jax.numpy as jnp
 from multimodal_segmentation_project_tpu.ops import losses
 
 
-# ---------- numpy oracles (vectorized, channel-last) ----------
+# ---------- numpy oracles (vectorized, channel-last internally) ----------
+
+
+def cl(logits):
+    """channel-first (B,C,...) -> channel-last for the oracles."""
+    return np.moveaxis(logits, 1, -1)
 
 def np_softmax(x, axis=-1):
     x = x - x.max(axis=axis, keepdims=True)
@@ -71,20 +77,20 @@ def np_kd(student, teacher, labels, alpha=0.7, T=2.0):
 def test_cross_entropy_parity(logits_labels):
     logits, labels = logits_labels
     got = float(losses.cross_entropy_loss(jnp.array(logits), jnp.array(labels)))
-    want = np_ce(logits.astype(np.float64), labels)
+    want = np_ce(cl(logits).astype(np.float64), labels)
     assert got == pytest.approx(want, rel=1e-5)
 
 
 def test_soft_dice_parity(logits_labels):
     logits, labels = logits_labels
     got = float(losses.soft_dice_loss(jnp.array(logits), jnp.array(labels)))
-    assert got == pytest.approx(np_dice_loss(logits, labels), rel=1e-5)
+    assert got == pytest.approx(np_dice_loss(cl(logits), labels), rel=1e-5)
 
 
 def test_combined_loss_parity(logits_labels):
     logits, labels = logits_labels
     got = float(losses.combined_loss(jnp.array(logits), jnp.array(labels)))
-    want = np_ce(logits.astype(np.float64), labels) + np_dice_loss(logits, labels)
+    want = np_ce(cl(logits).astype(np.float64), labels) + np_dice_loss(cl(logits), labels)
     assert got == pytest.approx(want, rel=1e-5)
 
 
@@ -92,14 +98,14 @@ def test_combined_loss_parity(logits_labels):
 def test_tversky_parity(logits_labels, alpha, beta):
     logits, labels = logits_labels
     got = float(losses.tversky_loss(jnp.array(logits), jnp.array(labels), alpha, beta))
-    assert got == pytest.approx(np_tversky(logits, labels, alpha, beta), rel=1e-5)
+    assert got == pytest.approx(np_tversky(cl(logits), labels, alpha, beta), rel=1e-5)
 
 
 def test_tversky_equals_dice_at_half():
     # Tversky(0.5, 0.5) is the soft-dice formulation: cross-check the two
     # implementations agree up to their different epsilons.
     rng = np.random.default_rng(0)
-    logits = rng.normal(size=(1, 6, 6, 6, 4)).astype(np.float32) * 3
+    logits = rng.normal(size=(1, 4, 6, 6, 6)).astype(np.float32) * 3
     labels = rng.integers(0, 4, size=(1, 6, 6, 6)).astype(np.int32)
     tv = float(losses.tversky_loss(jnp.array(logits), jnp.array(labels), 0.5, 0.5))
     dc = float(losses.soft_dice_loss(jnp.array(logits), jnp.array(labels)))
@@ -112,8 +118,8 @@ def test_ce_tversky_parity(logits_labels):
         losses.combined_ce_tversky_loss(jnp.array(logits), jnp.array(labels), 0.5, 0.5)
     )
     assert got == pytest.approx(
-        0.3 * np_ce(logits.astype(np.float64), labels)
-        + 0.7 * np_tversky(logits, labels, 0.5, 0.5),
+        0.3 * np_ce(cl(logits).astype(np.float64), labels)
+        + 0.7 * np_tversky(cl(logits), labels, 0.5, 0.5),
         rel=1e-5,
     )
 
@@ -126,7 +132,7 @@ def test_distillation_parity(rng, logits_labels):
             jnp.array(student), jnp.array(teacher), jnp.array(labels), 0.7, 2.0
         )
     )
-    assert got == pytest.approx(np_kd(student, teacher, labels, 0.7, 2.0), rel=1e-5)
+    assert got == pytest.approx(np_kd(cl(student), cl(teacher), labels, 0.7, 2.0), rel=1e-5)
 
 
 def test_distillation_perfect_teacher_match(rng):
@@ -153,8 +159,8 @@ def test_loss_registry():
 def test_perfect_prediction_low_loss():
     labels = np.zeros((1, 8, 8, 8), dtype=np.int32)
     labels[0, 2:6, 2:6, 2:6] = 1
-    logits = np.full((1, 8, 8, 8, 4), -20.0, dtype=np.float32)
-    logits[..., 0] = np.where(labels[0] == 0, 20.0, -20.0)
-    logits[..., 1] = np.where(labels[0] == 1, 20.0, -20.0)
+    logits = np.full((1, 4, 8, 8, 8), -20.0, dtype=np.float32)
+    logits[:, 0] = np.where(labels[0] == 0, 20.0, -20.0)
+    logits[:, 1] = np.where(labels[0] == 1, 20.0, -20.0)
     loss = float(losses.combined_ce_tversky_loss(jnp.array(logits), jnp.array(labels), 0.5, 0.5))
     assert loss < 1e-3

@@ -25,7 +25,7 @@ def np_macro_dice_iou(pred, labels, num_classes=4, eps=1e-5):
 
 def test_dice_iou_accuracy_parity(logits_labels):
     logits, labels = logits_labels
-    pred = logits.argmax(-1)
+    pred = logits.argmax(1)
     want_dice, want_iou = np_macro_dice_iou(pred, labels)
     got_dice = float(metrics.calculate_dice(jnp.array(logits), jnp.array(labels)))
     got_iou = float(metrics.calculate_iou(jnp.array(logits), jnp.array(labels)))
@@ -54,15 +54,15 @@ def test_absent_classes_skipped():
     # excluded from the macro average (utils/metrics.py:83,110 semantics).
     labels = np.zeros((1, 6, 6, 6), dtype=np.int32)
     labels[0, :3] = 2
-    logits = np.full((1, 6, 6, 6, 4), -10.0, dtype=np.float32)
-    logits[..., 0] = 10.0  # predict all background
+    logits = np.full((1, 4, 6, 6, 6), -10.0, dtype=np.float32)
+    logits[:, 0] = 10.0  # predict all background
     d = float(metrics.calculate_dice(jnp.array(logits), jnp.array(labels)))
     # one valid class (2), dice = eps/(t+eps) ~ 0
     assert d < 1e-3
     # now predict class 2 perfectly -> dice 1.0 even though 1,3 absent
-    logits2 = np.full((1, 6, 6, 6, 4), -10.0, dtype=np.float32)
-    logits2[..., 0] = np.where(labels[0] == 0, 10.0, -10.0)
-    logits2[..., 2] = np.where(labels[0] == 2, 10.0, -10.0)
+    logits2 = np.full((1, 4, 6, 6, 6), -10.0, dtype=np.float32)
+    logits2[:, 0] = np.where(labels[0] == 0, 10.0, -10.0)
+    logits2[:, 2] = np.where(labels[0] == 2, 10.0, -10.0)
     d2 = float(metrics.calculate_dice(jnp.array(logits2), jnp.array(labels)))
     assert d2 == pytest.approx(1.0, abs=1e-5)
 

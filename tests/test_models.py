@@ -11,7 +11,7 @@ from multimodal_segmentation_project_tpu.models import UNet3D, DomainDiscriminat
 SMALL = dict(features=(4, 8), dropout_rate=0.1, dtype=jnp.float32)
 
 
-def _init(model, shape=(1, 16, 16, 16, 1), **kwargs):
+def _init(model, shape=(1, 1, 16, 16, 16), **kwargs):
     x = jnp.zeros(shape, jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, x, **kwargs)
     return variables, x
@@ -21,7 +21,7 @@ def test_forward_shapes():
     model = UNet3D(out_channels=4, **SMALL)
     variables, x = _init(model)
     logits = model.apply(variables, x, train=False)
-    assert logits.shape == (1, 16, 16, 16, 4)
+    assert logits.shape == (1, 4, 16, 16, 16)
     assert logits.dtype == jnp.float32
 
 
@@ -29,7 +29,7 @@ def test_return_features_gap():
     model = UNet3D(out_channels=4, **SMALL)
     variables, x = _init(model)
     logits, gap = model.apply(variables, x, train=False, return_features=True)
-    assert logits.shape == (1, 16, 16, 16, 4)
+    assert logits.shape == (1, 4, 16, 16, 16)
     assert gap.shape == (1, 16)  # features[-1]*2 = 16
     assert gap.dtype == jnp.float32
 
@@ -39,9 +39,9 @@ def test_odd_shape_resize_guard():
     # upsample 5->10->20: fine. Use 18: 18->9->4 (floor), up 4->8 != 9
     # triggers the trilinear shape guard (models/unet.py:81-83 analog).
     model = UNet3D(out_channels=2, **SMALL)
-    variables, x = _init(model, shape=(1, 18, 18, 18, 1))
+    variables, x = _init(model, shape=(1, 1, 18, 18, 18))
     logits = model.apply(variables, x, train=False)
-    assert logits.shape == (1, 18, 18, 18, 2)
+    assert logits.shape == (1, 2, 18, 18, 18)
 
 
 def test_train_mode_updates_batch_stats_and_uses_dropout():
@@ -75,7 +75,7 @@ def test_param_count_full_size_model():
     # Reference UNet3D(1->4, [16,32,64,128]) is ~5.6M params (SURVEY.md 2).
     # eval_shape: no compute, just shape inference.
     model = UNet3D(out_channels=4)  # default widths
-    x = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
+    x = jnp.zeros((1, 1, 32, 32, 32), jnp.float32)
     variables = jax.eval_shape(model.init, {"params": jax.random.key(0)}, x)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     assert 5.0e6 < n < 6.5e6, n
@@ -85,7 +85,7 @@ def test_remat_matches_no_remat():
     kwargs = dict(out_channels=2, features=(4, 8), dropout_rate=0.0, dtype=jnp.float32)
     m1 = UNet3D(remat=False, **kwargs)
     m2 = UNet3D(remat=True, **kwargs)
-    x = jnp.array(np.random.default_rng(3).normal(size=(1, 8, 8, 8, 1)), jnp.float32)
+    x = jnp.array(np.random.default_rng(3).normal(size=(1, 1, 8, 8, 8)), jnp.float32)
     v = m1.init({"params": jax.random.key(0)}, x)
     o1 = m1.apply(v, x, train=False)
     o2 = m2.apply(v, x, train=False)
@@ -106,7 +106,7 @@ def test_discriminator_shapes_and_params():
 def test_bf16_compute_fp32_params():
     # eval_shape only: bf16 convs are pathologically slow on CPU.
     model = UNet3D(out_channels=4, features=(4, 8), dtype=jnp.bfloat16)
-    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    x = jnp.zeros((1, 1, 8, 8, 8), jnp.float32)
     variables = jax.eval_shape(model.init, {"params": jax.random.key(0)}, x)
     for leaf in jax.tree.leaves(variables["params"]):
         assert leaf.dtype == jnp.float32

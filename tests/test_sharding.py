@@ -33,7 +33,7 @@ def small_state(lr=1e-3, sgd=False):
     import optax
 
     tx = optax.sgd(1.0) if sgd else make_optimizer(weight_decay=1e-4)
-    x = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+    x = jnp.zeros((1, 1, 8, 8, 8), jnp.float32)
     return create_train_state(model, jax.random.key(0), x, tx, lr)
 
 
@@ -41,7 +41,7 @@ def batch(n=8, seed=0):
     rng = np.random.default_rng(seed)
     labels = np.zeros((n, 8, 8, 8), np.int32)
     labels[:, 2:6, 2:6, 2:6] = 1
-    images = labels[..., None] * 0.5 + rng.normal(0, 0.05, (n, 8, 8, 8, 1))
+    images = labels[:, None] * 0.5 + rng.normal(0, 0.05, (n, 1, 8, 8, 8))
     return images.astype(np.float32), labels
 
 
@@ -103,10 +103,10 @@ def test_eval_step_sharded():
 
 def test_batch_sharding_layout():
     mesh = make_mesh(n_spatial=2)
-    images = np.zeros((4, 8, 8, 8, 1), np.float32)
-    arr = jax.device_put(images, batch_sharding(mesh))
+    images = np.zeros((4, 1, 8, 8, 8), np.float32)
+    arr = jax.device_put(images, batch_sharding(mesh, ndim=5))
     # each device holds B/4 x D/2 shard
     shard_shape = arr.sharding.shard_shape(arr.shape)
-    assert shard_shape == (1, 4, 8, 8, 1)
+    assert shard_shape == (1, 1, 4, 8, 8)
     rep = jax.device_put(np.zeros(3), replicated_sharding(mesh))
     assert rep.sharding.shard_shape(rep.shape) == (3,)

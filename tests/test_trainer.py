@@ -22,7 +22,7 @@ class BlobDataset:
             lbl = np.zeros((size, size, size), np.int32)
             lbl[2:6, 2:6, 2:6] = 1
             lbl[0:2, 0:2, 0:2] = 2
-            img = lbl[..., None] * 0.5 + rng.normal(0, 0.05, (size, size, size, 1))
+            img = lbl[None] * 0.5 + rng.normal(0, 0.05, (1, size, size, size))
             self.items.append((img.astype(np.float32), lbl))
 
     def __len__(self):
