@@ -17,8 +17,11 @@ Methodology notes:
   * every timed call uses a DIFFERENT input batch — the serving relay
     caches repeated identical executions, which otherwise produces
     physically impossible numbers;
-  * compile/warmup excluded; details (inference throughput, step times)
-    go to BENCH_DETAILS.json.
+  * timing windows end with a host read of a scalar result
+    (float(...)), because block_until_ready on relay-backed buffers can
+    return before device execution completes;
+  * compile/warmup (plus one flush step) excluded; details (inference
+    throughput, step times) go to BENCH_DETAILS.json.
 
 Baseline note: the reference publishes NO numbers (BASELINE.md;
 result sheets not committed). ``REFERENCE_BASELINE_SPS = 2.0`` is a
@@ -82,8 +85,10 @@ def main() -> None:
     step = make_train_step(get_loss_fn("ce_tversky"), augment=True)
     t0 = time.time()
     state, metrics = step(state, *batches[0], jax.random.key(0))
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])  # force completion (see methodology note)
     details["train_compile_s"] = round(time.time() - t0, 1)
+    state, metrics = step(state, *batches[1], jax.random.key(1))
+    float(metrics["loss"])  # flush
 
     t0 = time.time()
     n = 0
@@ -91,7 +96,7 @@ def main() -> None:
         img, lbl = batches[i % N_BATCHES]
         state, metrics = step(state, img, lbl, jax.random.key(100 + i))
         n += 1
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     train_sps = n / (time.time() - t0)
     details.update(
         {
@@ -110,14 +115,17 @@ def main() -> None:
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     t0 = time.time()
-    jax.block_until_ready(predict(variables, *batches[0]))
+    out = predict(variables, *batches[0])
+    float(out[1]["dice"][0])
     details["inference_compile_s"] = round(time.time() - t0, 1)
+    out = predict(variables, *batches[1])
+    float(out[1]["dice"][0])  # flush
     t0 = time.time()
     n = 0
     for i in range(ITERS):
         out = predict(variables, *batches[i % N_BATCHES])
         n += 1
-    jax.block_until_ready(out)
+    float(out[1]["dice"][0])
     infer_vps = n / (time.time() - t0)
     details["inference_volumes_per_sec"] = round(infer_vps, 4)
     details["inference_ms_per_volume"] = round(1000 / infer_vps, 2)

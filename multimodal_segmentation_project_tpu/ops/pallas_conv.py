@@ -67,9 +67,10 @@ def _interpret() -> bool:
 
 
 def _pick_tile_h(h: int) -> int:
-    """Tile height. 8 keeps DMA slices sublane-aligned; kernels require
-    h % 8 == 0 (the dispatcher falls back to XLA otherwise)."""
-    return 8
+    """Tile height: a multiple of 8 keeps DMA slices sublane-aligned;
+    kernels require h % 8 == 0 (the dispatcher falls back to XLA
+    otherwise). Larger tiles amortize per-step overhead."""
+    return 16 if h % 16 == 0 else 8
 
 
 def supported_shape(h: int, w: int) -> bool:
@@ -124,14 +125,46 @@ def _assemble_panel(xtile, panel, *, cin, th, wp):
                 panel[pl.ds(t * cin, cin), :] = shifted
 
 
-def _fwd_kernel(x_ref, w_ref, out_ref, xtile, panel, dma_sem, *, cin, cout, th, w_dim, wp):
-    b, d, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    copy = pltpu.make_async_copy(
-        x_ref.at[b, :, pl.ds(d, 3), pl.ds(ht * th, th + 8), :], xtile, dma_sem
+def _tile_dma(x_ref, xtile, dma_sem, slot, b, d, h0, th):
+    return pltpu.make_async_copy(
+        x_ref.at[b, :, pl.ds(d, 3), pl.ds(h0, th + 8), :],
+        xtile.at[slot],
+        dma_sem.at[slot],
     )
-    copy.start()
-    copy.wait()
-    _assemble_panel(xtile, panel, cin=cin, th=th, wp=wp)
+
+
+def _pipelined_tile(x_ref, xtile, dma_sem, *, th, n_ht, n_d):
+    """Double-buffered input-tile fetch: while computing tile i, tile
+    i+1's DMA is already in flight (the kernel is otherwise DMA-latency
+    bound: thousands of small sequential copies)."""
+    b, d, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    step = (b * n_d + d) * n_ht + ht
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        _tile_dma(x_ref, xtile, dma_sem, 0, b, d, ht * th, th).start()
+
+    # prefetch the next grid step's tile into the other slot
+    nxt = step + 1
+    nb = nxt // (n_d * n_ht)
+    nd = (nxt // n_ht) - nb * n_d
+    nht = jax.lax.rem(nxt, n_ht)
+    last = nxt >= pl.num_programs(0) * n_d * n_ht
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        _tile_dma(x_ref, xtile, dma_sem, 1 - slot, nb, nd, nht * th, th).start()
+
+    _tile_dma(x_ref, xtile, dma_sem, slot, b, d, ht * th, th).wait()
+    return slot
+
+
+def _fwd_kernel(
+    x_ref, w_ref, out_ref, xtile, panel, dma_sem, *, cin, cout, th, w_dim, wp, n_ht, n_d
+):
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, th=th, n_ht=n_ht, n_d=n_d)
+    _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp)
     acc = jnp.dot(w_ref[:], panel[:], preferred_element_type=jnp.float32)
     acc = acc.reshape(cout, th, wp)
     out_ref[0, :, 0, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
@@ -139,10 +172,13 @@ def _fwd_kernel(x_ref, w_ref, out_ref, xtile, panel, dma_sem, *, cin, cout, th, 
 
 def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
     th = _pick_tile_h(h)
-    kernel = partial(_fwd_kernel, cin=cin, cout=cout, th=th, w_dim=w_dim, wp=wp)
+    n_ht = h // th
+    kernel = partial(
+        _fwd_kernel, cin=cin, cout=cout, th=th, w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=d
+    )
     return pl.pallas_call(
         kernel,
-        grid=(b, d, h // th),
+        grid=(b, d, n_ht),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
@@ -154,9 +190,9 @@ def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
         ),
         out_shape=jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype),
         scratch_shapes=[
-            pltpu.VMEM((cin, 3, th + 8, wp), dtype),
+            pltpu.VMEM((2, cin, 3, th + 8, wp), dtype),
             pltpu.VMEM((27 * cin, th * wp), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -173,14 +209,11 @@ def _conv_apply(x: jax.Array, w_packed: jax.Array, cout: int) -> jax.Array:
     return call(xp, w_packed)
 
 
-def _dw_kernel(x_ref, g_ref, dw_ref, xtile, panel, dma_sem, *, cin, cout, th, wp):
-    b, d, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    copy = pltpu.make_async_copy(
-        x_ref.at[b, :, pl.ds(d, 3), pl.ds(ht * th, th + 8), :], xtile, dma_sem
-    )
-    copy.start()
-    copy.wait()
-    _assemble_panel(xtile, panel, cin=cin, th=th, wp=wp)
+def _dw_kernel(
+    x_ref, g_ref, dw_ref, xtile, panel, dma_sem, *, cin, cout, th, wp, n_ht, n_d
+):
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, th=th, n_ht=n_ht, n_d=n_d)
+    _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp)
     g_tile = g_ref[0, :, 0, :, :].reshape(cout, th * wp)
     partial_dw = jax.lax.dot_general(
         panel[:],
@@ -208,10 +241,11 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
     # zero-pad g's W to the same WP: garbage panel columns contribute 0
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w_dim)))
     th = _pick_tile_h(h)
-    kernel = partial(_dw_kernel, cin=cin, cout=cout, th=th, wp=wp)
+    n_ht = h // th
+    kernel = partial(_dw_kernel, cin=cin, cout=cout, th=th, wp=wp, n_ht=n_ht, n_d=d)
     return pl.pallas_call(
         kernel,
-        grid=(b, d, h // th),
+        grid=(b, d, n_ht),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
@@ -225,9 +259,9 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((cin, 3, th + 8, wp), x.dtype),
+            pltpu.VMEM((2, cin, 3, th + 8, wp), x.dtype),
             pltpu.VMEM((27 * cin, th * wp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
