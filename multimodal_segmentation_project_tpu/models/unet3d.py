@@ -171,24 +171,42 @@ class DoubleConv(nn.Module):
 
 
 class UpConv(nn.Module):
-    """2x2x2 stride-2 transpose conv, channel-first boundary."""
+    """2x2x2 stride-2 transpose conv, channel-first.
+
+    With kernel == stride, every output voxel receives exactly one
+    kernel tap, so the transpose conv is algebraically a per-voxel
+    matmul followed by depth-to-space interleaving. That formulation is
+    used here instead of lax.conv_transpose: the dilated-convolution
+    lowering was the single hottest op of the train step (XLA fused it
+    into a ~150 ms full-resolution kernel over lane-padded buffers),
+    while einsum + reshape stays compact channel-first and fuses
+    cleanly. Parameter names/shapes match flax nn.ConvTranspose
+    ('kernel' (2,2,2,Cin,Cout), 'bias'), so checkpoints are
+    layout-independent.
+    """
 
     features: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = jnp.transpose(x, TO_LAST).astype(self.dtype)
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(2, 2, 2),
-            strides=(2, 2, 2),
-            padding="VALID",
-            dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(),
-            name="tconv",
-        )(x)
-        return jnp.transpose(x, TO_FIRST)
+        cin = x.shape[1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(batch_axis=(), in_axis=(0, 1, 2, 3), out_axis=4),
+            (2, 2, 2, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        b, _, d, h, w = x.shape
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        # out[b,o,2d+a,2h+p,2w+q] = sum_i x[b,i,d,h,w] * k[a,p,q,i,o]
+        t = jnp.einsum("bidhw,apqio->bodahpwq", x, k)
+        out = t.reshape(b, self.features, 2 * d, 2 * h, 2 * w)
+        return out + bias.astype(self.dtype).reshape(1, -1, 1, 1, 1)
 
 
 class DecoderStage(nn.Module):
@@ -222,15 +240,19 @@ class DecoderStage(nn.Module):
 
 
 def max_pool_cf(x: jax.Array) -> jax.Array:
-    """2x stride-2 max pool on (B, C, D, H, W) — no layout change needed."""
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max,
-        (1, 1, 2, 2, 2),
-        (1, 1, 2, 2, 2),
-        "VALID",
-    )
+    """2x stride-2 max pool on (B, C, D, H, W).
+
+    Non-overlapping windows, so pooling is reshape + max over the three
+    factor axes. This avoids lax.reduce_window, whose backward lowers to
+    a slow full-resolution select-and-scatter on TPU; the reshape-max
+    backward is a fused compare-and-mask. (Gradient-of-max tie-breaking
+    differs from torch's first-match rule only on exactly-equal floats.)
+    """
+    b, c, d, h, w = x.shape
+    # floor semantics for odd extents (torch MaxPool3d drops the tail)
+    x = x[:, :, : d // 2 * 2, : h // 2 * 2, : w // 2 * 2]
+    x = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2, 2)
+    return jnp.max(x, axis=(3, 5, 7))
 
 
 class UNet3D(nn.Module):

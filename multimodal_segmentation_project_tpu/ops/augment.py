@@ -99,15 +99,25 @@ def random_histogram_shift(key, image, num_control_points: int = 5):
 
     Source control points evenly span [min, max]; destination points are
     sorted uniform draws with fixed endpoints, guaranteeing monotonicity.
+
+    Evaluated segment-by-segment with compare/select instead of
+    jnp.interp: interp's searchsorted+gather lowers to two ~100 ms
+    volume-sized gather kernels on TPU, while the unrolled piecewise
+    form (n_segments is 4) fuses into one elementwise pass.
     """
     lo = jnp.min(image)
     hi = jnp.max(image)
-    src = jnp.linspace(0.0, 1.0, num_control_points)
     interior = jax.random.uniform(key, (num_control_points - 2,))
     dst = jnp.concatenate([jnp.zeros(1), jnp.sort(interior), jnp.ones(1)])
     span = hi - lo + 1e-7
-    norm = (image - lo) / span
-    shifted = jnp.interp(norm, src, dst)
+    norm = jnp.clip((image - lo) / span, 0.0, 1.0)
+    n_seg = num_control_points - 1
+    t = norm * n_seg
+    shifted = jnp.zeros_like(norm)
+    for k in range(n_seg):
+        seg_val = dst[k] + (dst[k + 1] - dst[k]) * (t - k)
+        in_seg = (t >= k) & (t < k + 1) if k < n_seg - 1 else (t >= k)
+        shifted = jnp.where(in_seg, seg_val, shifted)
     return shifted * span + lo
 
 
