@@ -84,19 +84,22 @@ class PallasConv3(nn.Module):
         return conv3x3x3_cf(x.astype(self.dtype), kernel, bias)
 
 
-def _use_pallas_conv(conv_impl: str, features: int, x: jax.Array) -> bool:
-    """Dispatch: the Pallas kernel wins where XLA's lane padding is worst
-    (small channel counts at large spatial extents)."""
+def _pallas_shape_ok(conv_impl: str, features: int, cin: int, h: int, w: int) -> bool:
     from multimodal_segmentation_project_tpu.ops.pallas_conv import supported_shape
 
     if conv_impl == "xla":
         return False
-    h, w = x.shape[3], x.shape[4]
-    ok = supported_shape(h, w) and features <= 64 and x.shape[1] <= 64
+    ok = supported_shape(h, w) and features <= 64 and cin <= 64
     if conv_impl == "pallas":
         return ok
     # 'auto': only on real TPUs (interpret mode is too slow elsewhere)
     return ok and jax.default_backend() == "tpu"
+
+
+def _use_pallas_conv(conv_impl: str, features: int, x: jax.Array) -> bool:
+    """Dispatch: the Pallas kernel wins where XLA's lane padding is worst
+    (small channel counts at large spatial extents)."""
+    return _pallas_shape_ok(conv_impl, features, x.shape[1], x.shape[3], x.shape[4])
 
 
 class DoubleConv(nn.Module):
@@ -286,22 +289,36 @@ class UNet3D(nn.Module):
         train: bool = False,
         return_features: bool = False,
     ):
-        block_cls, stage_cls = DoubleConv, DecoderStage
-        if self.remat:
-            # arg 0 is the module instance; trailing `train` flag is static
-            block_cls = nn.remat(DoubleConv, static_argnums=(2,))
-            stage_cls = nn.remat(DecoderStage, static_argnums=(3,))
+        # Rematerialization is only worthwhile for the XLA conv path,
+        # whose interiors are lane-padded 4-8x; Pallas-path blocks keep
+        # compact activations, so saving them costs ~0.25 GB per
+        # full-res level while skipping a full forward recompute in the
+        # backward pass.
+        r_block = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
+        r_stage = nn.remat(DecoderStage, static_argnums=(3,)) if self.remat else DecoderStage
+
+        def pick_block(feats, cin, h, w):
+            if _pallas_shape_ok(self.conv_impl, feats, cin, h, w):
+                return DoubleConv
+            return r_block
+
+        def pick_stage(feats, cin, h, w):
+            if _pallas_shape_ok(self.conv_impl, feats, cin, h, w):
+                return DecoderStage
+            return r_stage
 
         x = x.astype(self.dtype)
         skips = []
         for i, feats in enumerate(self.features):
-            x = block_cls(
+            cls = pick_block(feats, x.shape[1], x.shape[3], x.shape[4])
+            x = cls(
                 feats, self.dropout_rate, self.dtype, self.conv_impl, name=f"enc{i}"
             )(x, train)
             skips.append(x)
             x = max_pool_cf(x)
 
-        x = block_cls(
+        cls = pick_block(self.features[-1] * 2, x.shape[1], x.shape[3], x.shape[4])
+        x = cls(
             self.features[-1] * 2, self.dropout_rate, self.dtype, self.conv_impl,
             name="bottleneck",
         )(x, train)
@@ -311,9 +328,13 @@ class UNet3D(nn.Module):
             bottleneck_gap = jnp.mean(x.astype(jnp.float32), axis=(2, 3, 4))
 
         for i, feats in enumerate(reversed(self.features)):
-            x = stage_cls(
+            skip = skips[-(i + 1)]
+            # the stage's DoubleConv sees concat(skip, up) at the skip's
+            # resolution with 2*feats input channels
+            cls = pick_stage(feats, 2 * feats, skip.shape[3], skip.shape[4])
+            x = cls(
                 feats, self.dropout_rate, self.dtype, self.conv_impl, name=f"dec{i}"
-            )(x, skips[-(i + 1)], train)
+            )(x, skip, train)
 
         # 1x1x1 head as channel-first einsum: a (.., 4)-minor conv output
         # would be lane-padded 32x (see module docstring).

@@ -40,14 +40,30 @@ import jax.numpy as jnp
 CH = 1  # channel axis (B, C, *spatial)
 
 
-def _foreground_one_hot(labels: jax.Array, num_classes: int) -> jax.Array:
-    """One-hot of foreground classes 1..C-1: (B, C-1, *spatial), f32.
+def _per_class_fg_sums(logits: jax.Array, labels: jax.Array):
+    """Per foreground class c: (sum p_c*t_c, sum p_c, sum t_c,
+    sum p_c*(1-t_c), sum (1-p_c)*t_c) via fused compare+reduce passes.
 
-    Built by broadcast compare (not jax.nn.one_hot) so the class axis
-    lands at axis 1 and spatial dims stay minor (no lane padding).
+    Looping the C-1 classes keeps everything as elementwise+reduction
+    fusions over compact volumes; a broadcast (B, C-1, *spatial) fp32
+    one-hot would materialize ~340 MB buffers at 192^3.
     """
-    classes = jnp.arange(1, num_classes).reshape((1, -1) + (1,) * (labels.ndim - 1))
-    return (labels[:, None] == classes).astype(jnp.float32)
+    num_classes = logits.shape[CH]
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=CH)
+    tp, ps, ts, fp, fn = [], [], [], [], []
+    for c in range(1, num_classes):
+        pc = jax.lax.index_in_dim(p, c, axis=CH, keepdims=False)
+        tc = (labels == c).astype(jnp.float32)
+        tpc = jnp.sum(pc * tc)
+        psc = jnp.sum(pc)
+        tsc = jnp.sum(tc)
+        tp.append(tpc)
+        ps.append(psc)
+        ts.append(tsc)
+        fp.append(psc - tpc)  # sum p*(1-t) = sum p - sum p*t
+        fn.append(tsc - tpc)  # sum (1-p)*t = sum t - sum p*t
+    stack = lambda v: jnp.stack(v)
+    return stack(tp), stack(ps), stack(ts), stack(fp), stack(fn)
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -67,17 +83,6 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return -jnp.mean(picked)
 
 
-def _fg_probs(logits: jax.Array) -> jax.Array:
-    p = jax.nn.softmax(logits.astype(jnp.float32), axis=CH)
-    return jax.lax.slice_in_dim(p, 1, p.shape[CH], axis=CH)
-
-
-def _class_sums(x: jax.Array) -> jax.Array:
-    """Sum over batch + spatial, keep the class axis: (C-1,)."""
-    axes = (0,) + tuple(range(2, x.ndim))
-    return jnp.sum(x, axis=axes)
-
-
 def soft_dice_loss(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) -> jax.Array:
     """Soft multi-class dice loss over foreground classes (global sums).
 
@@ -85,11 +90,8 @@ def soft_dice_loss(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) 
     dice term of ``combined_loss`` (utils/metrics.py:27-38):
     ``mean_c [1 - (2*I_c + eps) / (P_c + T_c + eps)]`` with eps=1e-5.
     """
-    p = _fg_probs(logits)
-    t = _foreground_one_hot(labels, logits.shape[CH])
-    inter = _class_sums(p * t)
-    union = _class_sums(p) + _class_sums(t)
-    dice = (2.0 * inter + epsilon) / (union + epsilon)
+    tp, ps, ts, _, _ = _per_class_fg_sums(logits, labels)
+    dice = (2.0 * tp + epsilon) / (ps + ts + epsilon)
     return jnp.mean(1.0 - dice)
 
 
@@ -106,11 +108,7 @@ def tversky_loss(
     epsilon: float = 1e-6,
 ) -> jax.Array:
     """Multi-class Tversky loss over foreground classes (utils/metrics.py:137-156)."""
-    p = _fg_probs(logits)
-    t = _foreground_one_hot(labels, logits.shape[CH])
-    tp = _class_sums(p * t)
-    fp = _class_sums(p * (1.0 - t))
-    fn = _class_sums((1.0 - p) * t)
+    tp, _, _, fp, fn = _per_class_fg_sums(logits, labels)
     tversky = (tp + epsilon) / (tp + alpha * fp + beta * fn + epsilon)
     return jnp.mean(1.0 - tversky)
 

@@ -29,21 +29,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _class_masks(x: jax.Array, num_classes: int) -> jax.Array:
-    """(B, C-1, *spatial) f32 mask per foreground class, class axis at 1."""
-    classes = jnp.arange(1, num_classes).reshape((1, -1) + (1,) * (x.ndim - 1))
-    return (x[:, None] == classes).astype(jnp.float32)
-
-
 def _confusion_sums(pred_classes: jax.Array, labels: jax.Array, num_classes: int):
-    """Global per-class (intersection, pred_sum, target_sum) for classes 1..C-1."""
-    pred_m = _class_masks(pred_classes, num_classes)
-    targ_m = _class_masks(labels, num_classes)
-    axes = (0,) + tuple(range(2, pred_m.ndim))
-    inter = jnp.sum(pred_m * targ_m, axis=axes)
-    psum = jnp.sum(pred_m, axis=axes)
-    tsum = jnp.sum(targ_m, axis=axes)
-    return inter, psum, tsum
+    """Global per-class (intersection, pred_sum, target_sum) for classes 1..C-1.
+
+    Computed as a short Python loop of fused compare+reduce passes: a
+    broadcast (B, C-1, *spatial) mask tensor would materialize
+    volume-sized fp32 buffers (~340 MB at 192^3) for no benefit.
+    """
+    inter, psum, tsum = [], [], []
+    for c in range(1, num_classes):
+        pm = pred_classes == c
+        tm = labels == c
+        inter.append(jnp.sum((pm & tm).astype(jnp.float32)))
+        psum.append(jnp.sum(pm.astype(jnp.float32)))
+        tsum.append(jnp.sum(tm.astype(jnp.float32)))
+    return jnp.stack(inter), jnp.stack(psum), jnp.stack(tsum)
 
 
 def calculate_dice(logits: jax.Array, labels: jax.Array, epsilon: float = 1e-5) -> jax.Array:

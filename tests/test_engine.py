@@ -228,7 +228,7 @@ def test_load_params_only_strict_and_lenient(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # lenient load into a model with a different head succeeds
     bigger = UNet3D(**{**MODEL_KW, "out_channels": 3})
-    bvars = bigger.init({"params": jax.random.key(0)}, jnp.zeros((1, 8, 8, 8, 1)))
+    bvars = bigger.init({"params": jax.random.key(0)}, jnp.zeros((1, 1, 8, 8, 8)))
     params2, _ = ckpt.load_params_only(path, bvars["params"], strict=False)
     assert param_count(params2) == param_count(bvars["params"])
     with pytest.raises(KeyError):
