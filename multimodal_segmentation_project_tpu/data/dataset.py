@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from multimodal_segmentation_project_tpu.data import native
 from multimodal_segmentation_project_tpu.data.nifti import load_nifti
 
 # AMOS label ids -> harmonized classes (utils/dataloader.py:43-49)
@@ -142,13 +143,24 @@ class CombinedDataset:
 
     def __getitem__(self, idx: int):
         s = self.samples[idx]
-        image = load_nifti(s.image_path).data.astype(np.float32)
-        label = load_nifti(s.label_path).data.astype(np.int64)
+        is_ct = modality_of(s.dataset_name) == "ct"
 
-        if modality_of(s.dataset_name) == "ct":
-            image = preprocess_ct(image)
+        # native C++ fast path: decode + (for CT) fused window normalize
+        norm = native.NORM_CT_WINDOW if is_ct else native.NORM_NONE
+        loaded = native.load_nifti_f32(s.image_path, norm_mode=norm)
+        if loaded is not None:
+            image = loaded[0]
+            if not is_ct:
+                image = preprocess_mri(image)
         else:
-            image = preprocess_mri(image)
+            image = load_nifti(s.image_path).data.astype(np.float32)
+            image = preprocess_ct(image) if is_ct else preprocess_mri(image)
+
+        lloaded = native.load_nifti_f32(s.label_path)
+        if lloaded is not None:
+            label = lloaded[0].astype(np.int64)
+        else:
+            label = load_nifti(s.label_path).data.astype(np.int64)
         label = harmonize_labels(label, s.dataset_name)
 
         # channel-first: (1, D, H, W) image, (D, H, W) int32 label
