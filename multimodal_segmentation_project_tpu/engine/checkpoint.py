@@ -120,3 +120,25 @@ def load_params_only(path: str, params_target, strict: bool = True):
     params = serialization.from_state_dict(params_target, merged_params)
     batch_stats = raw.get("batch_stats")
     return params, batch_stats
+
+
+def load_params_any(path: str, params_target, batch_stats_target, strict: bool = True):
+    """Initialize params/batch_stats from either a native msgpack
+    checkpoint or a reference torch ``.pth`` (auto-detected by suffix).
+
+    Returns (params, batch_stats); batch_stats may be the unchanged
+    target when the source carries none.
+    """
+    if str(path).endswith((".pth", ".pt")):
+        from multimodal_segmentation_project_tpu.engine.interop import (
+            load_torch_checkpoint,
+        )
+
+        return load_torch_checkpoint(path, params_target, batch_stats_target)
+    params, stats = load_params_only(path, params_target, strict=strict)
+    batch_stats = batch_stats_target
+    if stats:
+        from flax import serialization
+
+        batch_stats = serialization.from_state_dict(batch_stats_target, stats)
+    return params, batch_stats

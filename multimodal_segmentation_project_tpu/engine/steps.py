@@ -38,8 +38,21 @@ def _split_keys(key):
     return jax.random.split(key, 2)
 
 
-def make_train_step(loss_fn, augment: bool = False):
-    """Baseline/fine-tune step: forward, loss, grads, masked AdamW update."""
+def _grads_finite(grads) -> jax.Array:
+    return jnp.all(
+        jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+    )
+
+
+def make_train_step(loss_fn, augment: bool = False, nan_guard: bool = False):
+    """Baseline/fine-tune step: forward, loss, grads, masked AdamW update.
+
+    ``nan_guard`` adds on-device failure containment (the reference has
+    none — its DANN runs hand-tuned lambda "to prevent NaN errors",
+    run_dann_n5.sh:32): non-finite gradients are zeroed so the update is
+    skipped, and ``metrics['nonfinite']`` counts the event for the host
+    log. Costs one fused isfinite pass over the (5.6M-param) grads.
+    """
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, images, labels, key):
@@ -60,9 +73,13 @@ def make_train_step(loss_fn, augment: bool = False):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics = segmentation_metrics(logits, labels)
         metrics["loss"] = loss
+        if nan_guard:
+            finite = _grads_finite(grads)
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return state, metrics
 
     return train_step

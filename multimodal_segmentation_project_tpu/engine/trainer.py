@@ -106,6 +106,8 @@ class TrainerConfig:
     ckpt_prefix: str = "checkpoint"
     best_prefix: str = "best_model"
     resume: str | None = None
+    nan_guard: bool = True
+    profile_first_epoch: bool = False
     pretrained_model: str | None = None
     pretrained_strict: bool = True
     num_workers: int = 2
@@ -186,16 +188,14 @@ class Trainer:
         )
 
         if cfg.pretrained_model:
-            params, stats = ckpt.load_params_only(
-                cfg.pretrained_model, state.params, strict=cfg.pretrained_strict
+            # accepts native .msgpack or reference torch .pth checkpoints
+            params, batch_stats = ckpt.load_params_any(
+                cfg.pretrained_model,
+                state.params,
+                state.batch_stats,
+                strict=cfg.pretrained_strict,
             )
-            state = state.replace(params=params)
-            if stats:
-                from flax import serialization
-
-                state = state.replace(
-                    batch_stats=serialization.from_state_dict(state.batch_stats, stats)
-                )
+            state = state.replace(params=params, batch_stats=batch_stats)
 
         self.encoder_frozen = False
         if cfg.freeze_at_start:
@@ -214,7 +214,9 @@ class Trainer:
             assert kd_loss_fn is not None
             self.train_step = make_distill_step(kd_loss_fn, augment=cfg.augment)
         else:
-            self.train_step = make_train_step(loss_fn, augment=cfg.augment)
+            self.train_step = make_train_step(
+                loss_fn, augment=cfg.augment, nan_guard=cfg.nan_guard
+            )
         self.eval_step = make_eval_step(loss_fn)
 
         self.scheduler = (
@@ -384,8 +386,19 @@ class Trainer:
             epoch_start = time.time()
             self._apply_freeze_schedule(epoch)
 
-            train_metrics = self.train_epoch(epoch)
+            if cfg.profile_first_epoch and epoch == self.start_epoch:
+                profile_dir = os.path.join(self.paths.logs, "profile")
+                self._print(f"[PROFILE] tracing epoch {epoch + 1} -> {profile_dir}")
+                with jax.profiler.trace(profile_dir):
+                    train_metrics = self.train_epoch(epoch)
+            else:
+                train_metrics = self.train_epoch(epoch)
             val_metrics = self.eval_epoch()
+            if train_metrics.get("nonfinite", 0) > 0:
+                self._print(
+                    f"[WARN] {train_metrics['nonfinite'] * 100:.1f}% of steps "
+                    f"in epoch {epoch + 1} had non-finite gradients (skipped)"
+                )
 
             if self.scheduler is not None:
                 new_lr = self.scheduler.step(val_metrics["dice"])

@@ -60,6 +60,10 @@ def add_common_args(parser: argparse.ArgumentParser, lr_default: float = 1e-3):
     parser.add_argument("--num_workers", type=int, default=2)
     parser.add_argument("--features", type=str, default="16,32,64,128",
                         help="encoder widths (bottleneck = 2x last)")
+    parser.add_argument("--profile", action="store_true",
+                        help="jax.profiler trace of the first epoch -> logs/profile")
+    parser.add_argument("--no_nan_guard", action="store_true",
+                        help="disable skip-update-on-nonfinite-gradients")
     return parser
 
 

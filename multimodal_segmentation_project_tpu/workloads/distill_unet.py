@@ -62,12 +62,9 @@ def load_teacher(cfg: TrainerConfig, teacher_path: str, sample_shape):
     variables = model.init(
         {"params": jax.random.key(0)}, jnp.zeros(sample_shape, jnp.float32)
     )
-    params, stats = ckpt.load_params_only(teacher_path, variables["params"], strict=True)
-    batch_stats = variables.get("batch_stats", {})
-    if stats:
-        from flax import serialization
-
-        batch_stats = serialization.from_state_dict(batch_stats, stats)
+    params, batch_stats = ckpt.load_params_any(
+        teacher_path, variables["params"], variables.get("batch_stats", {})
+    )
     return {"params": params, "batch_stats": batch_stats}
 
 
@@ -100,6 +97,8 @@ def main(args) -> dict:
         precision=resolve_precision(args.mixed_precision),
         features=parse_features(getattr(args, "features", (16, 32, 64, 128))),
         remat=not args.no_remat,
+        nan_guard=not getattr(args, "no_nan_guard", False),
+        profile_first_epoch=getattr(args, "profile", False),
         n_spatial=args.n_spatial,
         n_data=args.n_data,
         resume=args.resume,

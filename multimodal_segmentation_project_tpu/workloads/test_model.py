@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["bf16", "fp32"])
     parser.add_argument("--no_visualizations", action="store_true")
     parser.add_argument("--no_predictions", action="store_true")
+    parser.add_argument("--features", type=str, default="16,32,64,128",
+                        help="encoder widths of the trained model")
     return parser
 
 
@@ -251,11 +253,14 @@ def test_model(variables, model, test_dataset, args, results_dir) -> dict:
 def main(args) -> dict:
     modalities = parse_modalities(args.modalities)
 
+    from multimodal_segmentation_project_tpu.workloads.common import parse_features
+
     cfg = TrainerConfig(
         experiment_dir=args.experiment_dir,
         experiment_name="_eval_tmp",
         precision=args.precision,
         dropout_rate=0.0,
+        features=parse_features(getattr(args, "features", (16, 32, 64, 128))),
     )
     model = build_model(cfg)
 
@@ -266,12 +271,9 @@ def main(args) -> dict:
     variables = model.init(
         {"params": jax.random.key(args.seed)}, jnp.zeros((1,) + img0.shape, jnp.float32)
     )
-    params, stats = ckpt.load_params_only(args.model_path, variables["params"], strict=True)
-    batch_stats = variables.get("batch_stats", {})
-    if stats:
-        from flax import serialization
-
-        batch_stats = serialization.from_state_dict(batch_stats, stats)
+    params, batch_stats = ckpt.load_params_any(
+        args.model_path, variables["params"], variables.get("batch_stats", {})
+    )
     variables = {"params": params, "batch_stats": batch_stats}
 
     ts = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -74,6 +74,8 @@ def main(args) -> dict:
         precision=resolve_precision(args.mixed_precision),
         features=parse_features(getattr(args, "features", (16, 32, 64, 128))),
         remat=not args.no_remat,
+        nan_guard=not getattr(args, "no_nan_guard", False),
+        profile_first_epoch=getattr(args, "profile", False),
         n_spatial=args.n_spatial,
         n_data=args.n_data,
         resume=args.resume,

@@ -88,7 +88,9 @@ def test_train_then_eval(data_root, tmp_path):
     ])
     # features must match the trained model
     eval_args.features = "4,8"
-    overall = _eval_with_features(eval_args)
+    from multimodal_segmentation_project_tpu.workloads import test_model as tm
+
+    overall = tm.main(eval_args)
     assert "mean_dice_overall" in overall
     results = [d for d in os.listdir(exp) if d.startswith("test_results_unet_test")]
     assert results
@@ -102,28 +104,6 @@ def test_train_then_eval(data_root, tmp_path):
     assert img.data.shape == (SIZE, SIZE, SIZE)
     vis = os.listdir(os.path.join(rd, "visualizations"))
     assert len(vis) == 4
-
-
-def _eval_with_features(eval_args):
-    # test_model builds the model from TrainerConfig defaults; patch in
-    # the tiny test widths
-    from multimodal_segmentation_project_tpu.workloads import test_model as tm
-    from multimodal_segmentation_project_tpu.engine import trainer as trainer_mod
-
-    orig = trainer_mod.build_model
-
-    def patched(cfg):
-        object.__setattr__ if False else None
-        cfg2 = trainer_mod.TrainerConfig(**{**cfg.__dict__, "features": (4, 8)})
-        return orig(cfg2)
-
-    trainer_mod.build_model = patched
-    tm.build_model = patched
-    try:
-        return tm.main(eval_args)
-    finally:
-        trainer_mod.build_model = orig
-        tm.build_model = orig
 
 
 def test_finetune_from_pretrained(data_root, tmp_path):
