@@ -84,22 +84,25 @@ class PallasConv3(nn.Module):
         return conv3x3x3_cf(x.astype(self.dtype), kernel, bias)
 
 
-def _pallas_shape_ok(conv_impl: str, features: int, cin: int, h: int, w: int) -> bool:
-    from multimodal_segmentation_project_tpu.ops.pallas_conv import supported_shape
+def _pallas_conv_ok(conv_impl: str, cin: int, cout: int, h: int, w: int) -> bool:
+    """Per-conv dispatch: the Pallas kernel wins where XLA's lane
+    padding is worst (small channel counts at large spatial extents)."""
+    from multimodal_segmentation_project_tpu.ops.pallas_conv import supported_conv
 
     if conv_impl == "xla":
         return False
-    ok = supported_shape(h, w) and features <= 64 and cin <= 64
+    ok = supported_conv(cin, cout, h, w)
     if conv_impl == "pallas":
         return ok
     # 'auto': only on real TPUs (interpret mode is too slow elsewhere)
     return ok and jax.default_backend() == "tpu"
 
 
-def _use_pallas_conv(conv_impl: str, features: int, x: jax.Array) -> bool:
-    """Dispatch: the Pallas kernel wins where XLA's lane padding is worst
-    (small channel counts at large spatial extents)."""
-    return _pallas_shape_ok(conv_impl, features, x.shape[1], x.shape[3], x.shape[4])
+def _pallas_shape_ok(conv_impl: str, features: int, cin: int, h: int, w: int) -> bool:
+    """Whole-block dispatch: both convs of a DoubleConv run on Pallas."""
+    return _pallas_conv_ok(conv_impl, cin, features, h, w) and _pallas_conv_ok(
+        conv_impl, features, features, h, w
+    )
 
 
 class DoubleConv(nn.Module):
@@ -120,10 +123,14 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if _use_pallas_conv(self.conv_impl, self.features, x):
-            x = x.astype(self.dtype)
-            for i in range(2):
-                x = PallasConv3(self.features, self.dtype, name=f"conv{i}")(x)
+        for i in range(2):
+            use_pallas = _pallas_conv_ok(
+                self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]
+            )
+            if use_pallas:
+                x = PallasConv3(self.features, self.dtype, name=f"conv{i}")(
+                    x.astype(self.dtype)
+                )
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
@@ -134,43 +141,42 @@ class DoubleConv(nn.Module):
                 )(x)
                 x = nn.relu(x)
                 if self.dropout_rate > 0.0:
+                    # channel-wise dropout (torch Dropout3d): one mask
+                    # per (batch, channel), broadcast over D/H/W.
                     x = nn.Dropout(
                         rate=self.dropout_rate,
                         broadcast_dims=(2, 3, 4),
                         deterministic=not train,
                         name=f"drop{i}",
                     )(x)
-            return x
-
-        x = jnp.transpose(x, TO_LAST).astype(self.dtype)
-        for i in range(2):
-            x = nn.Conv(
-                self.features,
-                kernel_size=(3, 3, 3),
-                padding="SAME",
-                use_bias=True,
-                dtype=self.dtype,
-                kernel_init=nn.initializers.he_normal(),
-                name=f"conv{i}",
-            )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name=f"bn{i}",
-            )(x)
-            x = nn.relu(x)
-            if self.dropout_rate > 0.0:
-                # channel-wise dropout (torch Dropout3d): one mask per
-                # (batch, channel), broadcast over D/H/W.
-                x = nn.Dropout(
-                    rate=self.dropout_rate,
-                    broadcast_dims=(1, 2, 3),
-                    deterministic=not train,
-                    name=f"drop{i}",
+            else:
+                x = jnp.transpose(x, TO_LAST).astype(self.dtype)
+                x = nn.Conv(
+                    self.features,
+                    kernel_size=(3, 3, 3),
+                    padding="SAME",
+                    use_bias=True,
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal(),
+                    name=f"conv{i}",
                 )(x)
-        return jnp.transpose(x, TO_FIRST)
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name=f"bn{i}",
+                )(x)
+                x = nn.relu(x)
+                if self.dropout_rate > 0.0:
+                    x = nn.Dropout(
+                        rate=self.dropout_rate,
+                        broadcast_dims=(1, 2, 3),
+                        deterministic=not train,
+                        name=f"drop{i}",
+                    )(x)
+                x = jnp.transpose(x, TO_FIRST)
+        return x
 
 
 class UpConv(nn.Module):

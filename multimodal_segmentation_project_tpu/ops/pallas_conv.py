@@ -66,11 +66,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_tile_h(h: int) -> int:
+def _pick_tile_h(h: int, cin: int) -> int:
     """Tile height: a multiple of 8 keeps DMA slices sublane-aligned;
     kernels require h % 8 == 0 (the dispatcher falls back to XLA
-    otherwise). Larger tiles amortize per-step overhead."""
-    return 16 if h % 16 == 0 else 8
+    otherwise). Larger tiles amortize per-step overhead, but the im2col
+    panel (27*Cin x TH*WP) must stay within VMEM, so wide-Cin convs use
+    shorter tiles."""
+    return 16 if (h % 16 == 0 and cin <= 32) else 8
+
+
+def supported_conv(cin: int, cout: int, h: int, w: int) -> bool:
+    """Shapes this kernel handles; the model falls back to XLA convs
+    otherwise. Cin caps the VMEM panel; Cout caps the resident output
+    tile / matmul M dim."""
+    return h % 8 == 0 and w >= 8 and cin <= 64 and cout <= 128
 
 
 def supported_shape(h: int, w: int) -> bool:
@@ -171,7 +180,7 @@ def _fwd_kernel(
 
 
 def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
-    th = _pick_tile_h(h)
+    th = _pick_tile_h(h, cin)
     n_ht = h // th
     kernel = partial(
         _fwd_kernel, cin=cin, cout=cout, th=th, w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=d
@@ -240,7 +249,7 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
     wp = xp.shape[-1]
     # zero-pad g's W to the same WP: garbage panel columns contribute 0
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w_dim)))
-    th = _pick_tile_h(h)
+    th = _pick_tile_h(h, cin)
     n_ht = h // th
     kernel = partial(_dw_kernel, cin=cin, cout=cout, th=th, wp=wp, n_ht=n_ht, n_d=d)
     return pl.pallas_call(
