@@ -255,10 +255,14 @@ class Trainer:
         )
 
     def _write_csv_header(self):
+        if jax.process_index() != 0:
+            return
         with open(self.log_file, "w") as f:
             f.write(",".join(self.CSV_COLUMNS) + "\n")
 
     def _append_csv(self, row):
+        if jax.process_index() != 0:  # rank gating (multi-host pods)
+            return
         with open(self.log_file, "a") as f:
             f.write(",".join(str(v) for v in row) + "\n")
 
@@ -354,6 +358,8 @@ class Trainer:
         }
 
     def save_checkpoint(self, path, epoch, train_metrics, val_metrics):
+        if jax.process_index() != 0:  # params replicated; rank 0 writes
+            return
         ckpt.save_checkpoint(
             path,
             ckpt.state_checkpoint_tree(

@@ -113,3 +113,32 @@ def per_class_dice_iou(pred_classes: jax.Array, labels: jax.Array, num_classes: 
         "iou": jnp.where(present, iou, 0.0),
         "present": present,
     }
+
+
+# ---- legacy binary metrics (reference utils/metrics.py:42-63) ----
+# Kept for API parity: 0.5-threshold binary dice/IoU/accuracy over
+# (B, 1, *spatial) probability volumes. The reference keeps these but no
+# driver uses them (SURVEY.md section 2).
+
+
+def dice_score(pred: jax.Array, target: jax.Array, epsilon: float = 1e-6) -> jax.Array:
+    p = (pred > 0.5).astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    axes = tuple(range(1, p.ndim))
+    inter = jnp.sum(p * t, axis=axes)
+    union = jnp.sum(p, axis=axes) + jnp.sum(t, axis=axes)
+    return jnp.mean((2.0 * inter + epsilon) / (union + epsilon))
+
+
+def iou_score(pred: jax.Array, target: jax.Array, epsilon: float = 1e-6) -> jax.Array:
+    p = (pred > 0.5).astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    axes = tuple(range(1, p.ndim))
+    inter = jnp.sum(p * t, axis=axes)
+    union = jnp.sum(p, axis=axes) + jnp.sum(t, axis=axes) - inter
+    return jnp.mean((inter + epsilon) / (union + epsilon))
+
+
+def accuracy_score(pred: jax.Array, target: jax.Array) -> jax.Array:
+    p = (pred > 0.5).astype(jnp.float32)
+    return jnp.mean((p == target.astype(jnp.float32)).astype(jnp.float32))

@@ -64,7 +64,21 @@ def add_common_args(parser: argparse.ArgumentParser, lr_default: float = 1e-3):
                         help="jax.profiler trace of the first epoch -> logs/profile")
     parser.add_argument("--no_nan_guard", action="store_true",
                         help="disable skip-update-on-nonfinite-gradients")
+    parser.add_argument("--multihost", action="store_true",
+                        help="jax.distributed.initialize() for multi-host TPU pods "
+                             "(replaces the reference's accelerate/NCCL launcher)")
     return parser
+
+
+def maybe_init_multihost(args) -> None:
+    if getattr(args, "multihost", False):
+        import jax
+
+        jax.distributed.initialize()
+        print(
+            f"[DIST] process {jax.process_index()}/{jax.process_count()} "
+            f"with {jax.local_device_count()} local devices"
+        )
 
 
 def parse_features(value) -> tuple:

@@ -69,6 +69,9 @@ def load_teacher(cfg: TrainerConfig, teacher_path: str, sample_shape):
 
 
 def main(args) -> dict:
+    from multimodal_segmentation_project_tpu.workloads.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     modalities = parse_modalities(args.modalities)
     train_dataset = CombinedDataset(
         os.path.join(args.data_root, "train"), modalities=modalities

@@ -51,6 +51,9 @@ def experiment_name(args) -> str:
 
 
 def main(args) -> dict:
+    from multimodal_segmentation_project_tpu.workloads.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     modalities = parse_modalities(args.modalities)
     train_dataset = CombinedDataset(
         os.path.join(args.data_root, "train"), modalities=modalities

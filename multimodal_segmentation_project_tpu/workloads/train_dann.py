@@ -75,6 +75,9 @@ def experiment_name(args) -> str:
 
 
 def main(args) -> dict:
+    from multimodal_segmentation_project_tpu.workloads.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     src_mod = parse_modalities(args.source_modality)
     tgt_mod = parse_modalities(args.target_modality)
     if isinstance(src_mod, str):

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> dict:
+    from multimodal_segmentation_project_tpu.workloads.common import maybe_init_multihost
+
+    maybe_init_multihost(args)
     modalities = parse_modalities(args.modalities)
 
     train_dataset = CombinedDataset(

@@ -85,3 +85,20 @@ def test_per_class_eval_semantics():
     assert present.tolist() == [True, False, False]
     assert dice[0] == pytest.approx(1.0, abs=1e-5)
     assert dice[1] == 0.0 and dice[2] == 0.0
+
+
+def test_legacy_binary_trio():
+    # reference utils/metrics.py:42-63 semantics: 0.5 threshold,
+    # per-sample dice/iou then batch mean
+    rng = np.random.default_rng(7)
+    pred = rng.uniform(0, 1, size=(2, 1, 4, 4, 4)).astype(np.float32)
+    target = (rng.uniform(0, 1, size=(2, 1, 4, 4, 4)) > 0.5).astype(np.float32)
+    p = (pred > 0.5).astype(np.float64)
+    inter = (p * target).sum(axis=(1, 2, 3, 4))
+    union = p.sum(axis=(1, 2, 3, 4)) + target.sum(axis=(1, 2, 3, 4))
+    want_dice = np.mean((2 * inter + 1e-6) / (union + 1e-6))
+    want_iou = np.mean((inter + 1e-6) / (union - inter + 1e-6))
+    assert float(metrics.dice_score(jnp.array(pred), jnp.array(target))) == pytest.approx(want_dice, rel=1e-6)
+    assert float(metrics.iou_score(jnp.array(pred), jnp.array(target))) == pytest.approx(want_iou, rel=1e-6)
+    want_acc = np.mean(p == target)
+    assert float(metrics.accuracy_score(jnp.array(pred), jnp.array(target))) == pytest.approx(want_acc, rel=1e-6)
