@@ -289,6 +289,10 @@ class Trainer:
 
     @staticmethod
     def _finalize(total, n):
+        """One host sync per epoch. device_get here also anchors the
+        per-epoch wall time: without it the async dispatch queue would
+        drain into the NEXT epoch's first sync and skew the CSV `time`
+        column."""
         if total is None or n == 0:
             return {}
         host = jax.device_get(total)
