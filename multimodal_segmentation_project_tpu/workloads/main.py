@@ -85,6 +85,16 @@ def _sub_args(module, args, overrides=None):
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    # device banner (the reference prints a GPU banner, main.py:166-177)
+    if args.experiment in ("train", "finetune", "eval", "dann", "distill"):
+        import jax
+
+        print("\n=== Device Information ===")
+        print(f"Backend: {jax.default_backend()}")
+        print(f"Devices: {jax.devices()}")
+        print(f"Process: {jax.process_index()}/{jax.process_count()}  PID {__import__('os').getpid()}")
+        print("==========================\n")
+
     if args.experiment == "train":
         from multimodal_segmentation_project_tpu.workloads import train_unet
 
