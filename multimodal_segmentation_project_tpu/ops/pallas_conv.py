@@ -66,6 +66,28 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_tile_d(d: int, cin: int) -> int:
+    """Depth tile: computing TD output planes per grid step reuses the
+    loaded halo planes (each input plane is read (TD+2)/TD times instead
+    of 3 times), halving DMA traffic at TD=4. Wide-Cin convs use TD=2 to
+    stay inside the 16 MB scoped-VMEM budget."""
+    cap = 4 if cin <= 32 else 2
+    for td in (cap, 2, 1):
+        if d % td == 0 and td <= cap:
+            return td
+    return 1
+
+
+def _pick_tile_d_dw(d: int, cin: int) -> int:
+    """The dw kernel's fp32 accumulator + dot stack is heavier than the
+    forward's; wide-Cin convs stay at TD=1 to fit scoped VMEM."""
+    cap = 4 if cin <= 16 else (2 if cin <= 32 else 1)
+    for td in (cap, 2, 1):
+        if d % td == 0 and td <= cap:
+            return td
+    return 1
+
+
 def _pick_tile_h(h: int, cin: int) -> int:
     """Tile height: a multiple of 8 keeps DMA slices sublane-aligned;
     kernels require h % 8 == 0 (the dispatcher falls back to XLA
@@ -77,9 +99,10 @@ def _pick_tile_h(h: int, cin: int) -> int:
 
 def supported_conv(cin: int, cout: int, h: int, w: int) -> bool:
     """Shapes this kernel handles; the model falls back to XLA convs
-    otherwise. Cin caps the VMEM panel; Cout caps the resident output
-    tile / matmul M dim."""
-    return h % 8 == 0 and w >= 8 and cin <= 64 and cout <= 128
+    otherwise. The cap is symmetric in cin/cout because the backward
+    dx conv swaps them (its im2col panel is built from the cotangent
+    with Cout channels)."""
+    return h % 8 == 0 and w >= 8 and cin <= 64 and cout <= 64
 
 
 def supported_shape(h: int, w: int) -> bool:
@@ -115,11 +138,11 @@ def _pad_for_kernel(x: jax.Array) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 7), (1, wp - w - 1)))
 
 
-def _assemble_panel(xtile, panel, *, cin, th, wp):
+def _assemble_panel(xtile, panel, *, cin, th, wp, td_off=0):
     """im2col: panel[(kd*3+kh)*3+kw block] = rolled (Cin, TH*WP) slab."""
     for kd in range(3):
         for kh in range(3):
-            base = xtile[:, kd, kh : kh + th, :].reshape(cin, th * wp)
+            base = xtile[:, td_off + kd, kh : kh + th, :].reshape(cin, th * wp)
             # Mosaic's lane rotate is 32-bit only: roll in fp32, cast back
             base32 = base.astype(jnp.float32)
             for kw in range(3):
@@ -134,25 +157,26 @@ def _assemble_panel(xtile, panel, *, cin, th, wp):
                 panel[pl.ds(t * cin, cin), :] = shifted
 
 
-def _tile_dma(x_ref, xtile, dma_sem, slot, b, d, h0, th):
+def _tile_dma(x_ref, xtile, dma_sem, slot, b, d0, h0, td, th):
     return pltpu.make_async_copy(
-        x_ref.at[b, :, pl.ds(d, 3), pl.ds(h0, th + 8), :],
+        x_ref.at[b, :, pl.ds(d0, td + 2), pl.ds(h0, th + 8), :],
         xtile.at[slot],
         dma_sem.at[slot],
     )
 
 
-def _pipelined_tile(x_ref, xtile, dma_sem, *, th, n_ht, n_d):
+def _pipelined_tile(x_ref, xtile, dma_sem, *, td, th, n_ht, n_d):
     """Double-buffered input-tile fetch: while computing tile i, tile
     i+1's DMA is already in flight (the kernel is otherwise DMA-latency
-    bound: thousands of small sequential copies)."""
-    b, d, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    step = (b * n_d + d) * n_ht + ht
+    bound: thousands of small sequential copies). Grid dim 1 counts
+    depth tiles of TD planes each."""
+    b, dt, ht = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    step = (b * n_d + dt) * n_ht + ht
     slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
     def _():
-        _tile_dma(x_ref, xtile, dma_sem, 0, b, d, ht * th, th).start()
+        _tile_dma(x_ref, xtile, dma_sem, 0, b, dt * td, ht * th, td, th).start()
 
     # prefetch the next grid step's tile into the other slot
     nxt = step + 1
@@ -163,43 +187,50 @@ def _pipelined_tile(x_ref, xtile, dma_sem, *, th, n_ht, n_d):
 
     @pl.when(jnp.logical_not(last))
     def _():
-        _tile_dma(x_ref, xtile, dma_sem, 1 - slot, nb, nd, nht * th, th).start()
+        _tile_dma(
+            x_ref, xtile, dma_sem, 1 - slot, nb, nd * td, nht * th, td, th
+        ).start()
 
-    _tile_dma(x_ref, xtile, dma_sem, slot, b, d, ht * th, th).wait()
+    _tile_dma(x_ref, xtile, dma_sem, slot, b, dt * td, ht * th, td, th).wait()
     return slot
 
 
 def _fwd_kernel(
-    x_ref, w_ref, out_ref, xtile, panel, dma_sem, *, cin, cout, th, w_dim, wp, n_ht, n_d
+    x_ref, w_ref, out_ref, xtile, panel, dma_sem, *,
+    cin, cout, td, th, w_dim, wp, n_ht, n_d,
 ):
-    slot = _pipelined_tile(x_ref, xtile, dma_sem, th=th, n_ht=n_ht, n_d=n_d)
-    _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp)
-    acc = jnp.dot(w_ref[:], panel[:], preferred_element_type=jnp.float32)
-    acc = acc.reshape(cout, th, wp)
-    out_ref[0, :, 0, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        acc = jnp.dot(w_ref[:], panel[:], preferred_element_type=jnp.float32)
+        acc = acc.reshape(cout, th, wp)
+        out_ref[0, :, t, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
 
 
 def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
+    td = _pick_tile_d(d, cin)
     th = _pick_tile_h(h, cin)
+    n_dt = d // td
     n_ht = h // th
     kernel = partial(
-        _fwd_kernel, cin=cin, cout=cout, th=th, w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=d
+        _fwd_kernel, cin=cin, cout=cout, td=td, th=th, w_dim=w_dim, wp=wp,
+        n_ht=n_ht, n_d=n_dt,
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, d, n_ht),
+        grid=(b, n_dt, n_ht),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
         ],
         out_specs=pl.BlockSpec(
-            (1, cout, 1, th, w_dim),
+            (1, cout, td, th, w_dim),
             lambda bb, dd, hh: (bb, 0, dd, hh, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, 3, th + 8, wp), dtype),
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), dtype),
             pltpu.VMEM((27 * cin, th * wp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -219,26 +250,35 @@ def _conv_apply(x: jax.Array, w_packed: jax.Array, cout: int) -> jax.Array:
 
 
 def _dw_kernel(
-    x_ref, g_ref, dw_ref, xtile, panel, dma_sem, *, cin, cout, th, wp, n_ht, n_d
+    x_ref, g_ref, dw_ref, xtile, panel, dma_sem, *,
+    cin, cout, td, th, wp, n_ht, n_d,
 ):
-    slot = _pipelined_tile(x_ref, xtile, dma_sem, th=th, n_ht=n_ht, n_d=n_d)
-    _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp)
-    g_tile = g_ref[0, :, 0, :, :].reshape(cout, th * wp)
-    partial_dw = jax.lax.dot_general(
-        panel[:],
-        g_tile,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (27*Cin, Cout)
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    # accumulate into dw_ref between dots (not into a local): keeping a
+    # live fp32 accumulator across unrolled dots doubles the Mosaic
+    # stack footprint and blows the 16 MB scoped-VMEM budget
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        g_tile = g_ref[0, :, t, :, :].reshape(cout, th * wp)
+        pdw = jax.lax.dot_general(
+            panel[:],
+            g_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (27*Cin, Cout)
+        if t == 0:
 
-    @pl.when(first)
-    def _():
-        dw_ref[:] = partial_dw
+            @pl.when(first)
+            def _():
+                dw_ref[:] = pdw
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        dw_ref[:] = dw_ref[:] + partial_dw
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dw_ref[:] = dw_ref[:] + pdw
+
+        else:
+            dw_ref[:] = dw_ref[:] + pdw
 
 
 def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
@@ -249,16 +289,20 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
     wp = xp.shape[-1]
     # zero-pad g's W to the same WP: garbage panel columns contribute 0
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w_dim)))
+    td = _pick_tile_d_dw(d, cin)
     th = _pick_tile_h(h, cin)
+    n_dt = d // td
     n_ht = h // th
-    kernel = partial(_dw_kernel, cin=cin, cout=cout, th=th, wp=wp, n_ht=n_ht, n_d=d)
+    kernel = partial(
+        _dw_kernel, cin=cin, cout=cout, td=td, th=th, wp=wp, n_ht=n_ht, n_d=n_dt
+    )
     return pl.pallas_call(
         kernel,
-        grid=(b, d, n_ht),
+        grid=(b, n_dt, n_ht),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(
-                (1, cout, 1, th, wp),
+                (1, cout, td, th, wp),
                 lambda bb, dd, hh: (bb, 0, dd, hh, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -268,7 +312,7 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, 3, th + 8, wp), x.dtype),
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), x.dtype),
             pltpu.VMEM((27 * cin, th * wp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
