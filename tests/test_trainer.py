@@ -159,3 +159,11 @@ def test_dann_trainer(tmp_path):
     with open(log) as f:
         header = f.readline().strip().split(",")
     assert header == DannTrainer.CSV_COLUMNS
+
+
+def test_trainer_profile_first_epoch(tmp_path):
+    cfg = small_cfg(tmp_path, "exp_prof", epochs=1, profile_first_epoch=True)
+    t = Trainer(cfg, BlobDataset(2), BlobDataset(2, seed=1))
+    t.run()
+    prof = os.path.join(str(tmp_path), "exp_prof", "logs", "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)

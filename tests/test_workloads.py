@@ -183,3 +183,26 @@ def test_orchestrator_stubs(capsys):
     orchestrate(["--experiment", "cyclegan"])
     out = capsys.readouterr().out
     assert "not implemented" in out
+
+
+def test_eval_cli_accepts_reference_torch_checkpoint(data_root, tmp_path):
+    """The documented switch-from-reference path: test_model.py directly
+    consumes a reference-layout .pth checkpoint via engine/interop."""
+    torch = pytest.importorskip("torch")
+    from tests.test_interop import reference_shaped_state_dict
+
+    sd = reference_shaped_state_dict(features=(4, 8), seed=2)
+    path = str(tmp_path / "ref.pth")
+    torch.save({"model_state_dict": sd}, path)
+
+    eval_args = test_model.build_parser().parse_args([
+        "--model_path", path,
+        "--data_root", str(data_root),
+        "--experiment_dir", str(tmp_path / "exp"),
+        "--model_name", "ref_import",
+        "--precision", "fp32",
+        "--features", "4,8",
+        "--no_visualizations",
+    ])
+    overall = test_model.main(eval_args)
+    assert np.isfinite(overall["mean_dice_overall"])
