@@ -8,7 +8,8 @@ fine-tune, knowledge distillation, DANN domain adaptation) plus a
 full-volume evaluation pipeline.
 
 Design notes (TPU-first, not a port):
-  * channel-last NDHWC layout everywhere (XLA-preferred on TPU)
+  * channel-first (B, C, D, H, W) layout everywhere — the reference's
+    torch layout AND the TPU-storage-efficient one (see models/unet3d.py)
   * bf16 compute / fp32 params+optimizer precision policy (no loss scaling)
   * one shared training engine (the reference duplicates its loop 4x)
   * data parallelism via a ``jax.sharding.Mesh`` + jit shardings (the

@@ -27,7 +27,7 @@ class DataLoader:
     """Iterable over (images, labels) numpy batches with threaded prefetch.
 
     Args:
-      dataset: indexable returning (image (D,H,W,1) f32, label (D,H,W) i32).
+      dataset: indexable returning (image (1,D,H,W) f32, label (D,H,W) i32).
       batch_size: samples per global batch.
       shuffle: reshuffle indices every epoch.
       seed: base seed for the epoch shuffles (epoch-dependent stream).
@@ -87,12 +87,13 @@ class DataLoader:
         yield from self._prefetch_iter(batches)
 
     def _prefetch_iter(self, batches):
-        out_q: queue.Queue = queue.Queue(maxsize=max(self.prefetch, 1))
         job_q: queue.Queue = queue.Queue()
         n_batches = len(batches)
         results: dict[int, object] = {}
         lock = threading.Lock()
         stop = threading.Event()
+        progress = {"next": 0}
+        cap = max(self.prefetch, 1)
 
         for i, b in enumerate(batches):
             job_q.put((i, b))
@@ -102,6 +103,15 @@ class DataLoader:
                 try:
                     i, b = job_q.get_nowait()
                 except queue.Empty:
+                    return
+                # backpressure: never decode more than `prefetch` batches
+                # ahead of the consumer — decoded 192^3 volumes are tens
+                # of MB each, so an unbounded ready-set OOMs the host on
+                # long epochs. Workers pull jobs in order, so at most
+                # (prefetch + num_workers) batches are decoded-or-in-flight.
+                while not stop.is_set() and i - progress["next"] >= cap:
+                    stop.wait(0.005)
+                if stop.is_set():
                     return
                 try:
                     batch = _collate([self.dataset[int(j)] for j in b])
@@ -118,17 +128,14 @@ class DataLoader:
             t.start()
 
         try:
-            next_idx = 0
-            while next_idx < n_batches:
+            while progress["next"] < n_batches:
                 with lock:
-                    ready = next_idx in results
-                if ready:
-                    with lock:
-                        batch = results.pop(next_idx)
+                    batch = results.pop(progress["next"], None)
+                if batch is not None:
                     if isinstance(batch, Exception):
                         raise batch
                     yield batch
-                    next_idx += 1
+                    progress["next"] += 1
                 else:
                     stop.wait(0.005)
         finally:

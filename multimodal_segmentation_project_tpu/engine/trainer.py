@@ -231,6 +231,10 @@ class Trainer:
 
         if cfg.resume:
             self._resume(cfg.resume)
+            # resumed runs land in a freshly timestamped experiment dir,
+            # so their log starts empty and still needs the header
+            if not os.path.exists(self.log_file):
+                self._write_csv_header()
         else:
             self._write_csv_header()
 
@@ -384,6 +388,7 @@ class Trainer:
             self.scheduler.load_state_dict(meta["scheduler"])
         self.encoder_frozen = bool(meta.get("encoder_frozen", False))
         self._print(f"[RESUME] from {path} at epoch {self.start_epoch}")
+        return tree
 
     # ---------- the loop ----------
 
@@ -559,18 +564,19 @@ class DannTrainer(Trainer):
         return meta
 
     def _resume(self, path: str):
-        super()._resume(path)
-        tree = ckpt.load_checkpoint(path)
+        tree = super()._resume(path)  # tree already restored against our target
         from flax import serialization
 
         self.disc_state = self.disc_state.replace(
             params=serialization.from_state_dict(
-                self.disc_state.params, tree["disc_params"]
+                self.disc_state.params, serialization.to_state_dict(tree["disc_params"])
             ),
             opt_state=serialization.from_state_dict(
-                self.disc_state.opt_state, tree["disc_opt_state"]
+                self.disc_state.opt_state,
+                serialization.to_state_dict(tree["disc_opt_state"]),
             ),
         )
+        return tree
 
     def _log_epoch(self, epoch, epoch_time, tm, vm):
         train_total = tm["task_loss"] + self.lambda_domain * tm["domain_loss"]

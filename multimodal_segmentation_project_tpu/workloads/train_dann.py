@@ -98,6 +98,9 @@ def main(args) -> dict:
 
     add_labeled = _rng_subset(add_labeled, args.n_add_source, args.seed)
     add_unlabeled = _rng_subset(add_unlabeled, args.n_add_source, args.seed)
+    # --n_target: limit volumes drawn from target/ (declared but never
+    # wired in the reference, main.py:240 -> train_dann.py parser gap)
+    train_tgt = _rng_subset(train_tgt, args.n_target, args.seed)
     source = ConcatDataset([train_src, add_labeled])
     target = ConcatDataset([train_tgt, add_unlabeled])
     source = _rng_subset(source, args.n_samples, args.seed)

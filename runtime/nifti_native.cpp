@@ -77,6 +77,24 @@ static int read_all(const char* path, uint8_t** out, size_t* out_len) {
   return NN_OK;
 }
 
+// Inflate only the first `want` bytes (header probe): stops the
+// decompressor as soon as the fixed-size output fills, so metadata
+// queries don't pay for inflating the whole voxel payload.
+static int gunzip_prefix(const uint8_t* in, size_t in_len, uint8_t* out,
+                         size_t want) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return NN_EGZIP;
+  zs.next_in = (Bytef*)in;
+  zs.avail_in = in_len;
+  zs.next_out = out;
+  zs.avail_out = want;
+  int rc = inflate(&zs, Z_NO_FLUSH);
+  inflateEnd(&zs);
+  if (zs.avail_out != 0 && rc != Z_STREAM_END) return NN_EGZIP;
+  return NN_OK;
+}
+
 static int gunzip(const uint8_t* in, size_t in_len, uint8_t** out,
                   size_t* out_len) {
   // ISIZE footer gives the uncompressed size mod 2^32 — fine for <4GB
@@ -135,7 +153,17 @@ int nifti_load_f32(const char* path, float* dst, int64_t dst_capacity,
   uint8_t* data = raw;
   size_t data_len = raw_len;
   uint8_t* inflated = nullptr;
-  if (raw_len >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+  bool gz = raw_len >= 2 && raw[0] == 0x1f && raw[1] == 0x8b;
+  uint8_t hdr_buf[352];
+  if (gz && dst == nullptr) {
+    // metadata probe: inflate only the header, skip the voxel payload
+    rc = gunzip_prefix(raw, raw_len, hdr_buf, sizeof(hdr_buf));
+    free(raw);
+    if (rc != NN_OK) return rc;
+    data = hdr_buf;
+    data_len = sizeof(hdr_buf);
+    raw = nullptr;
+  } else if (gz) {
     rc = gunzip(raw, raw_len, &inflated, &data_len);
     free(raw);
     raw = nullptr;
@@ -143,14 +171,15 @@ int nifti_load_f32(const char* path, float* dst, int64_t dst_capacity,
     data = inflated;
   }
 
+  bool heap = (data != hdr_buf);
   if (data_len < 352) {
-    free(data);
+    if (heap) free(data);
     return NN_EHDR;
   }
   int32_t sizeof_hdr;
   memcpy(&sizeof_hdr, data, 4);
   if (sizeof_hdr != 348) {  // big-endian files take the Python path
-    free(data);
+    if (heap) free(data);
     return NN_EHDR;
   }
   int16_t dim[8];
@@ -167,7 +196,7 @@ int nifti_load_f32(const char* path, float* dst, int64_t dst_capacity,
   memcpy(&sform_code, data + 254, 2);
 
   if (dim[0] < 3) {
-    free(data);
+    if (heap) free(data);
     return NN_EHDR;
   }
   int64_t nx = dim[1], ny = dim[2], nz = dim[3];
@@ -186,17 +215,17 @@ int nifti_load_f32(const char* path, float* dst, int64_t dst_capacity,
     for (int i = 0; i < 12; i++) meta->affine[i] = srow[i];
   }
   if (!dst) {
-    free(data);
+    if (heap) free(data);
     return (n <= 0) ? NN_EHDR : (int)NN_OK;  // metadata-only probe
   }
   if (dst_capacity < n) {
-    free(data);
+    if (heap) free(data);
     return NN_ESIZE;
   }
 
   size_t offset = (size_t)(vox_offset >= 352.0f ? vox_offset : 352.0f);
   if (offset + (size_t)n * (bitpix / 8) > data_len) {
-    free(data);
+    if (heap) free(data);
     return NN_EHDR;
   }
   const uint8_t* vox = data + offset;
@@ -226,10 +255,10 @@ int nifti_load_f32(const char* path, float* dst, int64_t dst_capacity,
       decode_to_f32<uint16_t>(vox, dst, n, slope, inter);
       break;
     default:
-      free(data);
+      if (heap) free(data);
       return NN_EDTYPE;
   }
-  free(data);
+  if (heap) free(data);
 
   if (norm_mode == 1) {  // CT abdominal window (utils/dataloader.py:111-117)
     const float lo = -160.0f, hi = 240.0f, inv = 1.0f / (hi - lo);

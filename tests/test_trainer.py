@@ -80,11 +80,15 @@ def test_trainer_resume(tmp_path):
         "checkpoint_epoch2_exp_resume.msgpack",
     )
     assert os.path.exists(ckpt_path)
-    cfg2 = small_cfg(tmp_path, "exp_resume", epochs=4, resume=ckpt_path)
+    cfg2 = small_cfg(tmp_path, "exp_resume2", epochs=4, resume=ckpt_path)
     t2 = Trainer(cfg2, BlobDataset(2), BlobDataset(2, seed=1))
     assert t2.start_epoch == 2
     summary = t2.run()
     assert summary["epoch"] == 4
+    # the resumed run's fresh log must carry the CSV header
+    log = os.path.join(str(tmp_path), "exp_resume2", "logs", "train_log.csv")
+    with open(log) as f:
+        assert f.readline().strip().split(",") == Trainer.CSV_COLUMNS
 
 
 def test_finetune_freeze_at_start(tmp_path):
