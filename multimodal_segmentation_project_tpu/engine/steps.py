@@ -77,9 +77,23 @@ def make_train_step(loss_fn, augment: bool = False, nan_guard: bool = False):
         metrics["loss"] = loss
         if nan_guard:
             finite = _grads_finite(grads)
-            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
             metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
-        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+            # skip the WHOLE update on a non-finite step: zero grads alone
+            # would still apply AdamW weight decay, and the poisoned
+            # forward's BN statistics must not be kept either
+            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+            new_stats = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old),
+                new_stats,
+                state.batch_stats,
+            )
+            lr = state.lr
+            state = state.replace(lr=lr * finite.astype(lr.dtype))
+            state = state.apply_gradients(grads).replace(
+                lr=lr, batch_stats=new_stats
+            )
+        else:
+            state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return state, metrics
 
     return train_step

@@ -233,3 +233,20 @@ def test_load_params_only_strict_and_lenient(tmp_path):
     assert param_count(params2) == param_count(bvars["params"])
     with pytest.raises(KeyError):
         ckpt.load_params_only(path, bvars["params"], strict=True)
+
+
+def test_nan_guard_skips_nonfinite_updates():
+    state = tiny_state()
+    step = make_train_step(get_loss_fn("ce_tversky"), nan_guard=True)
+    images, labels = synth_batch()
+    p0 = jax.tree.map(np.asarray, state.params)
+    # poison the input -> non-finite loss/grads
+    bad = jnp.full_like(images, jnp.nan)
+    state, m = step(state, bad, labels, jax.random.key(0))
+    assert float(m["nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # healthy step afterwards proceeds and reports finite
+    state, m = step(state, images, labels, jax.random.key(1))
+    assert float(m["nonfinite"]) == 0.0
+    assert np.isfinite(float(m["loss"]))
