@@ -64,13 +64,18 @@ class PallasConv3(nn.Module):
     Parameter names/shapes ('kernel' (3,3,3,Cin,Cout), 'bias' (Cout,))
     match flax nn.Conv exactly, so checkpoints are interchangeable
     between the Pallas and XLA conv paths.
+
+    ``fold_scale``/``fold_shift`` fold an eval-mode BatchNorm's affine
+    transform into the conv weights (exact: BN at inference is a
+    per-channel y = s*x + t), saving one full elementwise pass over the
+    volume per conv.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fold_scale=None, fold_shift=None) -> jax.Array:
         from multimodal_segmentation_project_tpu.ops.pallas_conv import conv3x3x3_cf
 
         cin = x.shape[1]
@@ -81,6 +86,9 @@ class PallasConv3(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        if fold_scale is not None:
+            kernel = kernel * fold_scale.reshape(1, 1, 1, 1, -1)
+            bias = bias * fold_scale + fold_shift
         return conv3x3x3_cf(x.astype(self.dtype), kernel, bias)
 
 
@@ -128,17 +136,26 @@ class DoubleConv(nn.Module):
                 self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]
             )
             if use_pallas:
-                x = PallasConv3(self.features, self.dtype, name=f"conv{i}")(
-                    x.astype(self.dtype)
-                )
-                x = nn.BatchNorm(
+                conv = PallasConv3(self.features, self.dtype, name=f"conv{i}")
+                bn = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
-                    dtype=self.dtype,
+                    dtype=jnp.float32,
                     axis=1,
                     name=f"bn{i}",
-                )(x)
+                )
+                if train:
+                    x = bn(conv(x.astype(self.dtype)))
+                else:
+                    # eval BN is per-channel affine: extract (scale, shift)
+                    # by probing the module on tiny inputs (identical flax
+                    # numerics, shared params) and fold them into the conv
+                    # — one fewer full elementwise pass over the volume.
+                    dummy = jnp.zeros((1, self.features, 1, 1, 1), jnp.float32)
+                    t = bn(dummy).reshape(-1)
+                    s = bn(jnp.ones_like(dummy)).reshape(-1) - t
+                    x = conv(x.astype(self.dtype), fold_scale=s, fold_shift=t)
                 x = nn.relu(x)
                 if self.dropout_rate > 0.0:
                     # channel-wise dropout (torch Dropout3d): one mask
@@ -149,6 +166,7 @@ class DoubleConv(nn.Module):
                         deterministic=not train,
                         name=f"drop{i}",
                     )(x)
+                x = x.astype(self.dtype)
             else:
                 x = jnp.transpose(x, TO_LAST).astype(self.dtype)
                 x = nn.Conv(
