@@ -78,6 +78,9 @@ def make_train_step(loss_fn, augment: bool = False, nan_guard: bool = False):
         if nan_guard:
             finite = _grads_finite(grads)
             metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
+            # keep the epoch-mean loss finite: a skipped step contributes
+            # 0 to the sum and is reported via the `nonfinite` fraction
+            metrics["loss"] = jnp.where(finite, metrics["loss"], 0.0)
             # skip the WHOLE update on a non-finite step: zero grads alone
             # would still apply AdamW weight decay, and the poisoned
             # forward's BN statistics must not be kept either
