@@ -44,14 +44,33 @@ def _grads_finite(grads) -> jax.Array:
     )
 
 
+def _guarded_update(state, grads, new_stats, finite):
+    """Apply the optimizer update, then roll the ENTIRE state back to
+    its pre-step value when ``finite`` is false — one elementwise select
+    over the state pytree.
+
+    Rolling back (rather than zeroing grads) gives exact skip semantics
+    in every configuration: AdamW moments and weight decay are untouched,
+    the poisoned forward's BN statistics are dropped, and under
+    optax.MultiSteps the gradient accumulator AND mini-step counter
+    revert, so a non-finite micro-batch is skipped outright instead of
+    diluting the accumulation average with zeros.
+    """
+    new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+    return jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), new_state, state
+    )
+
+
 def make_train_step(loss_fn, augment: bool = False, nan_guard: bool = False):
     """Baseline/fine-tune step: forward, loss, grads, masked AdamW update.
 
     ``nan_guard`` adds on-device failure containment (the reference has
     none — its DANN runs hand-tuned lambda "to prevent NaN errors",
-    run_dann_n5.sh:32): non-finite gradients are zeroed so the update is
-    skipped, and ``metrics['nonfinite']`` counts the event for the host
-    log. Costs one fused isfinite pass over the (5.6M-param) grads.
+    run_dann_n5.sh:32): on non-finite gradients the whole update is
+    rolled back (see ``_guarded_update``) and ``metrics['nonfinite']``
+    counts the event for the host log. Costs one fused isfinite pass
+    over the (5.6M-param) grads plus one select over the state.
     """
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -81,20 +100,7 @@ def make_train_step(loss_fn, augment: bool = False, nan_guard: bool = False):
             # keep the epoch-mean loss finite: a skipped step contributes
             # 0 to the sum and is reported via the `nonfinite` fraction
             metrics["loss"] = jnp.where(finite, metrics["loss"], 0.0)
-            # skip the WHOLE update on a non-finite step: zero grads alone
-            # would still apply AdamW weight decay, and the poisoned
-            # forward's BN statistics must not be kept either
-            grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
-            new_stats = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old),
-                new_stats,
-                state.batch_stats,
-            )
-            lr = state.lr
-            state = state.replace(lr=lr * finite.astype(lr.dtype))
-            state = state.apply_gradients(grads).replace(
-                lr=lr, batch_stats=new_stats
-            )
+            state = _guarded_update(state, grads, new_stats, finite)
         else:
             state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return state, metrics
@@ -117,9 +123,10 @@ def make_eval_step(loss_fn):
     return eval_step
 
 
-def make_distill_step(kd_loss_fn, augment: bool = False):
+def make_distill_step(kd_loss_fn, augment: bool = False, nan_guard: bool = False):
     """KD step: student trains against frozen teacher logits
-    (distill_unet.py:96-134 semantics; teacher under stop_gradient)."""
+    (distill_unet.py:96-134 semantics; teacher under stop_gradient).
+    ``nan_guard`` as in :func:`make_train_step`."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def distill_step(state, teacher_variables, images, labels, key):
@@ -147,15 +154,23 @@ def make_distill_step(kd_loss_fn, augment: bool = False):
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         metrics = segmentation_metrics(logits, labels)
         metrics["loss"] = loss
+        if nan_guard:
+            finite = _grads_finite(grads)
+            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
+            metrics["loss"] = jnp.where(finite, metrics["loss"], 0.0)
+            state = _guarded_update(state, grads, new_stats, finite)
+        else:
+            state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         return state, metrics
 
     return distill_step
 
 
-def make_dann_step(loss_fn, lambda_domain: float, grad_accum_steps: int = 1):
+def make_dann_step(
+    loss_fn, lambda_domain: float, grad_accum_steps: int = 1, nan_guard: bool = False
+):
     """DANN adversarial step over a (source, target) batch pair.
 
     Semantics follow train_dann.py:225-301 exactly, including its
@@ -171,6 +186,13 @@ def make_dann_step(loss_fn, lambda_domain: float, grad_accum_steps: int = 1):
     manually (train_dann.py:244,258); here optax.MultiSteps already
     averages, so losses are NOT pre-divided (identical effective
     update).
+
+    ``nan_guard`` (as in :func:`make_train_step`) is load-bearing here:
+    DANN is the reference's only NaN-prone workload — its lambda was
+    hand-lowered "to prevent NaN errors" (run_dann_n5.sh:32). On a
+    non-finite gradient in EITHER tree, BOTH the segmentation and
+    discriminator updates (and the BN-stat writes from both forwards)
+    roll back atomically.
     """
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -228,15 +250,25 @@ def make_dann_step(loss_fn, lambda_domain: float, grad_accum_steps: int = 1):
             disc_grads,
         ) = grad_fn(seg_state.params, disc_state.params)
 
-        seg_state = seg_state.apply_gradients(seg_grads).replace(
-            batch_stats=new_stats
-        )
-        disc_state = disc_state.apply_gradients(disc_grads)
-
         metrics = segmentation_metrics(src_logits, src_labels)
         metrics.update(
             {"task_loss": task_loss, "domain_loss": domain_loss, "loss": total}
         )
+        if nan_guard:
+            finite = _grads_finite(seg_grads) & _grads_finite(disc_grads)
+            metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
+            for k in ("task_loss", "domain_loss", "loss"):
+                metrics[k] = jnp.where(finite, metrics[k], 0.0)
+            seg_state = _guarded_update(seg_state, seg_grads, new_stats, finite)
+            new_disc = disc_state.apply_gradients(disc_grads)
+            disc_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_disc, disc_state
+            )
+        else:
+            seg_state = seg_state.apply_gradients(seg_grads).replace(
+                batch_stats=new_stats
+            )
+            disc_state = disc_state.apply_gradients(disc_grads)
         return seg_state, disc_state, metrics
 
     del grad_accum_steps  # handled by optax.MultiSteps inside the states

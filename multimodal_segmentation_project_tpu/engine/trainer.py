@@ -212,7 +212,9 @@ class Trainer:
         self.loss_fn = loss_fn
         if teacher_variables is not None:
             assert kd_loss_fn is not None
-            self.train_step = make_distill_step(kd_loss_fn, augment=cfg.augment)
+            self.train_step = make_distill_step(
+                kd_loss_fn, augment=cfg.augment, nan_guard=cfg.nan_guard
+            )
         else:
             self.train_step = make_train_step(
                 loss_fn, augment=cfg.augment, nan_guard=cfg.nan_guard
@@ -532,7 +534,9 @@ class DannTrainer(Trainer):
             tx=tx,
         )
         self.disc_state = replicate_state(self.mesh, disc_state)
-        self.dann_step = make_dann_step(self.loss_fn, lambda_domain)
+        self.dann_step = make_dann_step(
+            self.loss_fn, lambda_domain, nan_guard=cfg.nan_guard
+        )
 
     def train_epoch(self, epoch: int) -> dict:
         total, n = None, 0

@@ -250,3 +250,114 @@ def test_nan_guard_skips_nonfinite_updates():
     state, m = step(state, images, labels, jax.random.key(1))
     assert float(m["nonfinite"]) == 0.0
     assert np.isfinite(float(m["loss"]))
+
+
+def test_nan_guard_no_dilution_under_grad_accum():
+    """A non-finite micro-batch under MultiSteps must be SKIPPED, not
+    averaged in as zeros: good,bad,good == good,good exactly."""
+    images, labels = synth_batch()
+    bad = jnp.full_like(images, jnp.nan)
+    step = make_train_step(get_loss_fn("ce_tversky"), nan_guard=True)
+
+    s_guarded = tiny_state(accum=2)
+    s_control = tiny_state(accum=2)
+    s_guarded, _ = step(s_guarded, images, labels, jax.random.key(0))
+    s_guarded, m = step(s_guarded, bad, labels, jax.random.key(1))
+    assert float(m["nonfinite"]) == 1.0
+    s_guarded, _ = step(s_guarded, images, labels, jax.random.key(2))
+
+    s_control, _ = step(s_control, images, labels, jax.random.key(0))
+    s_control, _ = step(s_control, images, labels, jax.random.key(2))
+
+    for a, b in zip(
+        jax.tree.leaves(s_guarded.params), jax.tree.leaves(s_control.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the accumulation window completed: params moved from init
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(tiny_state(accum=2).params),
+            jax.tree.leaves(s_guarded.params),
+        )
+    )
+    assert moved
+
+
+def test_nan_guard_distill_step():
+    from multimodal_segmentation_project_tpu.ops.losses import distillation_loss
+
+    state = tiny_state()
+    model = UNet3D(**MODEL_KW)
+    teacher_vars = model.init(
+        {"params": jax.random.key(9)}, jnp.zeros((1, 1, 8, 8, 8), jnp.float32)
+    )
+    kd = lambda s, t, y: distillation_loss(s, t, y, alpha=0.7, temperature=2.0)
+    step = make_distill_step(kd, nan_guard=True)
+    images, labels = synth_batch()
+    bad = jnp.full_like(images, jnp.nan)
+    p0 = jax.tree.map(np.asarray, state.params)
+    stats0 = jax.tree.map(np.asarray, state.batch_stats)
+    state, m = step(state, teacher_vars, bad, labels, jax.random.key(0))
+    assert float(m["nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(stats0), jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    state, m = step(state, teacher_vars, images, labels, jax.random.key(1))
+    assert float(m["nonfinite"]) == 0.0
+
+
+def test_nan_guard_dann_step_atomic():
+    """On a poisoned batch BOTH the seg net and the discriminator (and
+    the BN stats from both forwards) must roll back atomically."""
+    from multimodal_segmentation_project_tpu.engine.state import TrainState
+    from multimodal_segmentation_project_tpu.engine import make_optimizer
+
+    seg_state = tiny_state()
+    disc = DomainDiscriminator(hidden_dims=(8, 4))
+    feat_dim = UNet3D(**MODEL_KW).bottleneck_features
+    dvars = disc.init({"params": jax.random.key(3)}, jnp.zeros((1, feat_dim)))
+    tx = make_optimizer(1e-4, 1)
+    disc_state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=dvars["params"],
+        batch_stats={},
+        opt_state=tx.init(dvars["params"]),
+        trainable_mask=ones_mask(dvars["params"]),
+        lr=jnp.asarray(1e-2, jnp.float32),
+        apply_fn=disc.apply,
+        tx=tx,
+    )
+    step = make_dann_step(get_loss_fn("ce_tversky"), 0.2, nan_guard=True)
+    src_img, src_lbl = synth_batch()
+    tgt_img = src_img + 0.1
+    bad = jnp.full_like(src_img, jnp.nan)
+
+    sp0 = jax.tree.map(np.asarray, seg_state.params)
+    dp0 = jax.tree.map(np.asarray, disc_state.params)
+    stats0 = jax.tree.map(np.asarray, seg_state.batch_stats)
+    seg_state, disc_state, m = step(
+        seg_state, disc_state, bad, src_lbl, tgt_img, jax.random.key(0)
+    )
+    assert float(m["nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(sp0), jax.tree.leaves(seg_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(dp0), jax.tree.leaves(disc_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(stats0), jax.tree.leaves(seg_state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # healthy batch updates both
+    seg_state, disc_state, m = step(
+        seg_state, disc_state, src_img, src_lbl, tgt_img, jax.random.key(1)
+    )
+    assert float(m["nonfinite"]) == 0.0
+    seg_moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(sp0), jax.tree.leaves(seg_state.params))
+    )
+    disc_moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(dp0), jax.tree.leaves(disc_state.params))
+    )
+    assert seg_moved and disc_moved
