@@ -8,6 +8,7 @@ from multimodal_segmentation_project_tpu.engine.schedule import ReduceLROnPlatea
 from multimodal_segmentation_project_tpu.engine.steps import (
     make_train_step,
     make_eval_step,
+    make_sharded_eval_step,
     make_distill_step,
     make_dann_step,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "ReduceLROnPlateau",
     "make_train_step",
     "make_eval_step",
+    "make_sharded_eval_step",
     "make_distill_step",
     "make_dann_step",
 ]

@@ -137,7 +137,9 @@ def load_params_any(path: str, params_target, batch_stats_target, strict: bool =
             load_torch_checkpoint,
         )
 
-        return load_torch_checkpoint(path, params_target, batch_stats_target)
+        return load_torch_checkpoint(
+            path, params_target, batch_stats_target, strict=strict
+        )
     params, stats = load_params_only(path, params_target, strict=strict)
     batch_stats = batch_stats_target
     if stats:

@@ -57,14 +57,13 @@ from multimodal_segmentation_project_tpu.engine.state import (
 from multimodal_segmentation_project_tpu.engine.steps import (
     make_dann_step,
     make_distill_step,
-    make_eval_step,
+    make_sharded_eval_step,
     make_train_step,
 )
 from multimodal_segmentation_project_tpu.models import UNet3D
 from multimodal_segmentation_project_tpu.ops.losses import get_loss_fn
 from multimodal_segmentation_project_tpu.parallel.mesh import (
     batch_sharding,
-    eval_sharding,
     make_mesh,
     replicate_state,
 )
@@ -155,10 +154,15 @@ class Trainer:
         log_device_usage(self.device_log)
 
         n_data = cfg.n_data
+        avail = max(len(jax.devices()) // cfg.n_spatial, 1)
         if n_data is None:
-            # largest data-parallel degree that divides the global batch
-            avail = max(len(jax.devices()) // cfg.n_spatial, 1)
+            # largest data-parallel degree that divides the global batch.
+            # NOTE: batch_size is the GLOBAL batch (the reference's is
+            # per-device, run_training.sh:24 x num_processes); warn when
+            # the choice would leave chips idle.
             n_data = next(d for d in range(avail, 0, -1) if cfg.batch_size % d == 0)
+        if n_data < avail:
+            self._warn_idle_chips(n_data, avail)
         self.mesh = make_mesh(n_data=n_data, n_spatial=cfg.n_spatial)
         data_par = self.mesh.shape["data"]
         self.train_loader = DataLoader(
@@ -169,8 +173,14 @@ class Trainer:
             num_workers=cfg.num_workers,
             drop_last=data_par > 1,
         )
+        # validation: n_data DISTINCT volumes per step, one per
+        # data-parallel group (round 1 replicated each batch-1 volume
+        # over the mesh — 1/N useful eval work per chip)
         self.val_loader = DataLoader(
-            val_dataset, batch_size=1, shuffle=False, num_workers=cfg.num_workers
+            val_dataset,
+            batch_size=data_par,
+            shuffle=False,
+            num_workers=cfg.num_workers,
         )
 
         model = build_model(cfg)
@@ -219,7 +229,7 @@ class Trainer:
             self.train_step = make_train_step(
                 loss_fn, augment=cfg.augment, nan_guard=cfg.nan_guard
             )
-        self.eval_step = make_eval_step(loss_fn)
+        self.eval_step = make_sharded_eval_step(loss_fn)
 
         self.scheduler = (
             ReduceLROnPlateau(cfg.lr, mode="max", patience=10, factor=0.1, min_lr=1e-6)
@@ -245,6 +255,20 @@ class Trainer:
     def _print(self, *args):
         if self.cfg.verbose and jax.process_index() == 0:
             print(*args, flush=True)
+
+    def _warn_idle_chips(self, n_data: int, avail: int):
+        msg = (
+            f"[WARN] global batch_size={self.cfg.batch_size} trains on only "
+            f"{n_data} of {avail} available data-parallel device groups — "
+            f"{avail - n_data} group(s) sit IDLE every step. batch_size here "
+            f"is the GLOBAL batch (the reference's --batch_size is "
+            f"per-device); set batch_size to a multiple of {avail} (e.g. "
+            f"{avail * max(1, self.cfg.batch_size)}) to use the whole mesh."
+        )
+        if jax.process_index() == 0:
+            print("=" * 72, flush=True)
+            print(msg, flush=True)
+            print("=" * 72, flush=True)
 
     def _report_freeze(self, state):
         mask = state.trainable_mask
@@ -279,12 +303,6 @@ class Trainer:
         return (
             jax.device_put(images, batch_sharding(self.mesh, images.ndim)),
             jax.device_put(labels, batch_sharding(self.mesh, labels.ndim)),
-        )
-
-    def _put_eval(self, images, labels):
-        return (
-            jax.device_put(images, eval_sharding(self.mesh, images.ndim)),
-            jax.device_put(labels, eval_sharding(self.mesh, labels.ndim)),
         )
 
     @staticmethod
@@ -340,13 +358,35 @@ class Trainer:
         return self._finalize(total, n)
 
     def eval_epoch(self) -> dict:
-        total, n = None, 0
+        """Validation over distinct volumes sharded across the data axis.
+
+        A ragged final batch is padded by repeating its first volume;
+        pad entries carry weight 0 so they never influence the metrics
+        (the repeated forward is wasted FLOPs on up to n_data-1 chips of
+        ONE step per epoch — the padding keeps shapes static so the step
+        compiles once).
+        """
+        data_par = self.mesh.shape["data"]
+        total = None
         for images, labels in self.val_loader:
-            images, labels = self._put_eval(images, labels)
-            metrics = self.eval_step(self.state, images, labels)
+            b = images.shape[0]
+            weights = np.ones((b,), np.float32)
+            if b < data_par:
+                pad = data_par - b
+                images = np.concatenate([images, np.repeat(images[:1], pad, 0)], 0)
+                labels = np.concatenate([labels, np.repeat(labels[:1], pad, 0)], 0)
+                weights = np.concatenate([weights, np.zeros((pad,), np.float32)])
+            images, labels = self._put_train(images, labels)
+            weights = jax.device_put(
+                weights, batch_sharding(self.mesh, ndim=weights.ndim)
+            )
+            metrics = self.eval_step(self.state, images, labels, weights)
             total = self._accumulate(total, metrics)
-            n += 1
-        return self._finalize(total, n)
+        if total is None:
+            return {}
+        host = jax.device_get(total)
+        n = max(float(host.pop("n")), 1.0)
+        return {k: float(v) / n for k, v in host.items()}
 
     # ---------- checkpoints ----------
 

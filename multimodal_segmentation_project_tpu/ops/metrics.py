@@ -93,6 +93,40 @@ def segmentation_metrics(logits: jax.Array, labels: jax.Array) -> dict[str, jax.
     }
 
 
+def segmentation_metrics_per_sample(logits: jax.Array, labels: jax.Array) -> dict[str, jax.Array]:
+    """Per-VOLUME dice/iou/accuracy: shape (B,) each.
+
+    Identical numerics to :func:`segmentation_metrics` at batch size 1.
+    Used by the sharded validation path: when distinct volumes are
+    spread across the mesh's data axis, per-volume metrics keep the
+    epoch average equal to the reference's one-volume-per-device
+    semantics (train_unet.py:283-286 gathers per-device batch-1 means)
+    regardless of how volumes are packed into device batches.
+    """
+    pred = jnp.argmax(logits, axis=1)
+    spatial = tuple(range(1, pred.ndim))
+    inter, psum, tsum = [], [], []
+    for c in range(1, logits.shape[1]):
+        pm = pred == c
+        tm = labels == c
+        inter.append(jnp.sum((pm & tm).astype(jnp.float32), axis=spatial))
+        psum.append(jnp.sum(pm.astype(jnp.float32), axis=spatial))
+        tsum.append(jnp.sum(tm.astype(jnp.float32), axis=spatial))
+    inter = jnp.stack(inter, axis=1)  # (B, C-1)
+    psum = jnp.stack(psum, axis=1)
+    tsum = jnp.stack(tsum, axis=1)
+    present = tsum > 0
+    valid = jnp.maximum(jnp.sum(present, axis=1), 1)
+    eps = 1e-5
+    dice = (2.0 * inter + eps) / (psum + tsum + eps)
+    iou = (inter + eps) / (psum + tsum - inter + eps)
+    return {
+        "dice": jnp.sum(jnp.where(present, dice, 0.0), axis=1) / valid,
+        "iou": jnp.sum(jnp.where(present, iou, 0.0), axis=1) / valid,
+        "acc": jnp.mean((pred == labels).astype(jnp.float32), axis=spatial),
+    }
+
+
 def per_class_dice_iou(pred_classes: jax.Array, labels: jax.Array, num_classes: int = 4):
     """Per-foreground-class (dice, iou, present) for the eval pipeline.
 

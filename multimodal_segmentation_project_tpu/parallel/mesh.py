@@ -66,8 +66,10 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """
     if ndim >= 5:
         spec = P(DATA_AXIS, None, SPATIAL_AXIS)
-    else:
+    elif ndim >= 2:
         spec = P(DATA_AXIS, SPATIAL_AXIS)
+    else:
+        spec = P(DATA_AXIS)  # per-sample weight/mask vectors
     return NamedSharding(mesh, spec)
 
 

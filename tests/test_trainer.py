@@ -165,6 +165,46 @@ def test_dann_trainer(tmp_path):
     assert header == DannTrainer.CSV_COLUMNS
 
 
+def test_eval_sharded_over_data_axis_matches_per_volume_mean(tmp_path):
+    """Validation packs n_data DISTINCT volumes per step (full-mesh
+    utilization) and still reproduces the exact per-volume epoch mean,
+    including the zero-weighted repeat padding of a ragged final batch
+    (5 volumes on a 4-wide data axis -> batches of 4 and 1+3 pad)."""
+    import jax
+    from multimodal_segmentation_project_tpu.engine import make_eval_step
+    from multimodal_segmentation_project_tpu.ops.losses import get_loss_fn
+
+    cfg = small_cfg(tmp_path, "exp_shard_eval", batch_size=4, epochs=1)
+    val = BlobDataset(5, seed=9)
+    t = Trainer(cfg, BlobDataset(4), val)
+    assert t.mesh.shape["data"] == 4
+    assert t.val_loader.batch_size == 4
+
+    got = t.eval_epoch()
+
+    # reference: plain batch-1 eval per volume, averaged on the host
+    estep = make_eval_step(get_loss_fn("ce_tversky"))
+    per_volume = []
+    for img, lbl in val.items:
+        m = estep(t.state, img[None], lbl[None])
+        per_volume.append({k: float(v) for k, v in m.items()})
+    want = {
+        k: float(np.mean([m[k] for m in per_volume])) for k in per_volume[0]
+    }
+    for k in ("dice", "iou", "acc", "loss"):
+        assert got[k] == pytest.approx(want[k], rel=1e-5), k
+
+
+def test_idle_chip_warning(tmp_path, capsys):
+    """Global batch 1 on an 8-device mesh idles 7 device groups; the
+    trainer must say so loudly (the reference's batch semantics are
+    per-device, run_training.sh:24)."""
+    cfg = small_cfg(tmp_path, "exp_idle", batch_size=1, epochs=1)
+    Trainer(cfg, BlobDataset(2), BlobDataset(1, seed=1))
+    out = capsys.readouterr().out
+    assert "IDLE" in out and "multiple of 8" in out
+
+
 def test_trainer_profile_first_epoch(tmp_path):
     cfg = small_cfg(tmp_path, "exp_prof", epochs=1, profile_first_epoch=True)
     t = Trainer(cfg, BlobDataset(2), BlobDataset(2, seed=1))
