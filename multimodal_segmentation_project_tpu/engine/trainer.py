@@ -66,6 +66,7 @@ from multimodal_segmentation_project_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     replicate_state,
+    set_active_mesh,
 )
 from multimodal_segmentation_project_tpu.utils.experiment import (
     ExperimentPaths,
@@ -164,6 +165,9 @@ class Trainer:
         if n_data < avail:
             self._warn_idle_chips(n_data, avail)
         self.mesh = make_mesh(n_data=n_data, n_spatial=cfg.n_spatial)
+        # convs consult the active mesh at trace time: with n_spatial>1
+        # they run inside halo-exchange shard_map islands (ops/halo.py)
+        set_active_mesh(self.mesh)
         data_par = self.mesh.shape["data"]
         self.train_loader = DataLoader(
             train_dataset,

@@ -59,24 +59,40 @@ TO_FIRST = (0, 4, 1, 2, 3)  # (B, D, H, W, C) -> (B, C, D, H, W)
 
 
 class PallasConv3(nn.Module):
-    """3x3x3 SAME conv on channel-first tensors via the Pallas kernel.
+    """3x3x3 SAME conv on channel-first tensors.
 
     Parameter names/shapes ('kernel' (3,3,3,Cin,Cout), 'bias' (Cout,))
     match flax nn.Conv exactly, so checkpoints are interchangeable
-    between the Pallas and XLA conv paths.
+    between the Pallas and XLA conv paths. ``use_xla`` swaps the Pallas
+    kernel for the channel-first XLA conv with identical semantics
+    (used for the spatially-sharded path at widths the kernel doesn't
+    cover).
 
     ``fold_scale``/``fold_shift`` fold an eval-mode BatchNorm's affine
     transform into the conv weights (exact: BN at inference is a
     per-channel y = s*x + t), saving one full elementwise pass over the
     volume per conv.
+
+    When a mesh with a non-trivial 'spatial' axis is active
+    (parallel.mesh.active_spatial_mesh), the conv runs inside a
+    halo-exchange shard_map island (ops/halo.py) — a pallas_call cannot
+    be auto-partitioned over a sharded D axis.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    use_xla: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, fold_scale=None, fold_shift=None) -> jax.Array:
-        from multimodal_segmentation_project_tpu.ops.pallas_conv import conv3x3x3_cf
+        from multimodal_segmentation_project_tpu.ops.halo import halo_conv3
+        from multimodal_segmentation_project_tpu.ops.pallas_conv import (
+            conv3x3x3_cf,
+            conv3x3x3_cf_reference,
+        )
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_spatial_mesh,
+        )
 
         cin = x.shape[1]
         kernel = self.param(
@@ -89,7 +105,11 @@ class PallasConv3(nn.Module):
         if fold_scale is not None:
             kernel = kernel * fold_scale.reshape(1, 1, 1, 1, -1)
             bias = bias * fold_scale + fold_shift
-        return conv3x3x3_cf(x.astype(self.dtype), kernel, bias)
+        conv_fn = conv3x3x3_cf_reference if self.use_xla else conv3x3x3_cf
+        mesh = active_spatial_mesh()
+        if mesh is not None:
+            return halo_conv3(conv_fn, x.astype(self.dtype), kernel, bias, mesh)
+        return conv_fn(x.astype(self.dtype), kernel, bias)
 
 
 def _pallas_conv_ok(conv_impl: str, cin: int, cout: int, h: int, w: int) -> bool:
@@ -131,12 +151,23 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_spatial_mesh,
+        )
+
+        # under spatial sharding EVERY conv goes through the
+        # channel-first branch so it runs inside a halo-exchange
+        # shard_map island (ops/halo.py): pallas kernel where supported,
+        # channel-first XLA conv otherwise
+        spatial = active_spatial_mesh() is not None
         for i in range(2):
             use_pallas = _pallas_conv_ok(
                 self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]
             )
-            if use_pallas:
-                conv = PallasConv3(self.features, self.dtype, name=f"conv{i}")
+            if use_pallas or spatial:
+                conv = PallasConv3(
+                    self.features, self.dtype, use_xla=not use_pallas, name=f"conv{i}"
+                )
                 bn = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,

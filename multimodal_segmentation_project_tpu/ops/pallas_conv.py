@@ -220,7 +220,7 @@ def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
         kernel,
         grid=(b, n_dt, n_ht),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
         ],
         out_specs=pl.BlockSpec(
@@ -300,7 +300,7 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
         kernel,
         grid=(b, n_dt, n_ht),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (1, cout, td, th, wp),
                 lambda bb, dd, hh: (bb, 0, dd, hh, 0),

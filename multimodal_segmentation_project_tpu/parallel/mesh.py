@@ -99,3 +99,44 @@ def replicate_state(mesh: Mesh, tree):
     """Replicate a pytree (TrainState) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---- active-mesh context ----------------------------------------------
+# The model consults this at TRACE time to decide whether its convs must
+# run inside halo-exchange shard_map islands (ops/halo.py): a pallas_call
+# cannot be auto-partitioned, so when the volume's D axis is sharded the
+# conv dispatch needs to know the mesh. The trainer (and dryrun) set it
+# once after building their mesh; tests use the context manager.
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_spatial_mesh() -> Mesh | None:
+    """The active mesh IF it has a non-trivial spatial axis, else None."""
+    m = _ACTIVE_MESH
+    if m is not None and m.shape.get(SPATIAL_AXIS, 1) > 1:
+        return m
+    return None
+
+
+class use_spatial_mesh:
+    """Context manager: activate a mesh for model tracing (tests)."""
+
+    def __init__(self, mesh: Mesh | None):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False

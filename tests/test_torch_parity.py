@@ -32,8 +32,13 @@ from tests.test_interop import reference_shaped_state_dict  # noqa: E402
 FEATURES = (4, 8)
 
 
-def torch_reference_forward(sd, x):
-    """Eval-mode forward of the reference UNet3D, written functionally."""
+def torch_reference_forward(sd, x, training=False):
+    """Forward of the reference UNet3D, written functionally.
+
+    ``training=True`` uses batch statistics (and updates the running
+    stats in place with torch's momentum 0.1 == flax momentum 0.9);
+    dropout is rate-0 in these tests so it is omitted in both stacks.
+    """
 
     def double_conv(prefix, h):
         for conv_i, bn_i in ((0, 1), (4, 5)):
@@ -47,7 +52,7 @@ def torch_reference_forward(sd, x):
                 sd[f"{prefix}.double_conv.{bn_i}.running_var"],
                 sd[f"{prefix}.double_conv.{bn_i}.weight"],
                 sd[f"{prefix}.double_conv.{bn_i}.bias"],
-                training=False,
+                training=training,
                 eps=1e-5,
             )
             h = F.relu(h)
@@ -98,6 +103,176 @@ def test_eval_forward_parity_with_torch(conv_impl):
     assert got.shape == want.shape
     scale = np.abs(want).max() + 1e-6
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+
+
+def _blob_batch(n=2, size=8, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = np.zeros((n, size, size, size), np.int64)
+    labels[:, 2:6, 2:6, 2:6] = 1
+    labels[:, 0:2, 0:2, 0:2] = 2
+    labels[:, 6:8, 6:8, 6:8] = 3
+    images = labels[:, None] * 0.5 + rng.normal(0, 0.1, (n, 1, size, size, size))
+    return images.astype(np.float32), labels
+
+
+def _torch_trainables(sd):
+    """Weight/bias leaves (requires_grad); running stats stay buffers."""
+    out = {}
+    for k, v in sd.items():
+        if "running_" in k or "num_batches" in k:
+            out[k] = v.clone()
+        else:
+            out[k] = v.clone().requires_grad_(True)
+    return out
+
+
+def _torch_grad_trees(sd, num_levels):
+    """Convert the .grad tensors of a torch param dict into this
+    framework's tree layout (reusing the weight converter — gradients
+    have the weights' shapes; running stats carry no grads, so the
+    conversion runs in non-strict mode)."""
+    gsd = {k: v.grad for k, v in sd.items() if getattr(v, "grad", None) is not None}
+    gparams, _ = torch_state_dict_to_trees(gsd, num_levels=num_levels, strict=False)
+    return gparams
+
+
+def test_train_step_gradient_parity_with_torch():
+    """SGD train-step gradients (CE loss, train-mode BN) match torch
+    autograd through the full reference net — VERDICT round-1 item 6."""
+    from multimodal_segmentation_project_tpu.ops.losses import cross_entropy_loss
+
+    base_sd = reference_shaped_state_dict(features=FEATURES, seed=21)
+    base_sd = {k: (v * 0.3 if v.ndim == 5 else v) for k, v in base_sd.items()}
+    images, labels = _blob_batch()
+
+    # ---- torch side ----
+    sd = _torch_trainables(base_sd)
+    out = torch_reference_forward(sd, torch.from_numpy(images), training=True)
+    loss_t = F.cross_entropy(out, torch.from_numpy(labels))
+    loss_t.backward()
+    want_grads = _torch_grad_trees(sd, num_levels=len(FEATURES))
+
+    # ---- this framework ----
+    params, stats = torch_state_dict_to_trees(base_sd, num_levels=len(FEATURES))
+    model = UNet3D(
+        out_channels=4, features=FEATURES, dropout_rate=0.0, dtype=jnp.float32
+    )
+
+    def loss_of(params):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(images),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return cross_entropy_loss(logits, jnp.asarray(labels.astype(np.int32)))
+
+    loss_j, got_grads = jax.value_and_grad(loss_of)(params)
+    assert float(loss_j) == pytest.approx(float(loss_t), rel=1e-5)
+
+    flat_want = jax.tree_util.tree_flatten_with_path(want_grads)[0]
+    got_flat = dict(jax.tree_util.tree_flatten_with_path(got_grads)[0])
+    assert len(flat_want) > 30  # every conv/bn/upconv/head weight compared
+    compared = 0
+    for path, a in flat_want:
+        b = got_flat[path]
+        a = np.asarray(a)
+        keys = [getattr(k, "key", str(k)) for k in path]
+        # conv/upconv biases feed (possibly through a linear conv) into
+        # a train-mode BatchNorm, whose mean subtraction cancels any
+        # constant channel offset: their TRUE gradient is exactly zero
+        # and both stacks return only amplified roundoff noise (scaled
+        # by 1/std) — incomparable across frameworks. Only the head
+        # bias (no BN after it) carries a real bias gradient.
+        bn_absorbed_bias = keys[-1] == "bias" and keys[0] != "head_bias" and (
+            "up" in keys or keys[-2].startswith("conv")
+        )
+        if bn_absorbed_bias:
+            assert np.abs(a).max() < 0.1 and np.abs(np.asarray(b)).max() < 0.1, path
+            continue
+        compared += 1
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, a / scale, atol=3e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    assert compared > 20
+
+    # one SGD step on matching grads lands on matching params
+    lr = 0.05
+    k = "encoder.0.double_conv.0.weight"
+    with torch.no_grad():
+        stepped_torch = (sd[k] - lr * sd[k].grad).numpy()
+    stepped_jax = np.asarray(params["enc0"]["conv0"]["kernel"]) - lr * np.asarray(
+        got_grads["enc0"]["conv0"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        stepped_jax, np.transpose(stepped_torch, (2, 3, 4, 1, 0)), atol=1e-6
+    )
+
+
+def test_training_convergence_dice_parity_with_torch():
+    """Train both stacks from identical weights with identical data and
+    plain SGD for 25 steps; final train-set Dice must agree within
+    +-0.01 (BASELINE.md Dice-parity proxy without the datasets)."""
+    from multimodal_segmentation_project_tpu.ops.losses import cross_entropy_loss
+    from multimodal_segmentation_project_tpu.ops.metrics import calculate_dice
+
+    base_sd = reference_shaped_state_dict(features=FEATURES, seed=31)
+    base_sd = {k: (v * 0.3 if v.ndim == 5 else v) for k, v in base_sd.items()}
+    images, labels = _blob_batch(n=2)
+    lr, steps = 0.5, 60
+
+    # ---- torch: manual SGD over the functional reference net ----
+    sd = _torch_trainables(base_sd)
+    for _ in range(steps):
+        for v in sd.values():
+            if v.requires_grad and v.grad is not None:
+                v.grad = None
+        out = torch_reference_forward(sd, torch.from_numpy(images), training=True)
+        loss = F.cross_entropy(out, torch.from_numpy(labels))
+        loss.backward()
+        with torch.no_grad():
+            for v in sd.values():
+                if v.requires_grad:
+                    v -= lr * v.grad
+    with torch.no_grad():
+        final_t = torch_reference_forward(sd, torch.from_numpy(images), training=False)
+    dice_torch = float(
+        calculate_dice(jnp.asarray(final_t.numpy()), jnp.asarray(labels.astype(np.int32)))
+    )
+
+    # ---- this framework: same init, same data, same SGD ----
+    params, stats = torch_state_dict_to_trees(base_sd, num_levels=len(FEATURES))
+    model = UNet3D(
+        out_channels=4, features=FEATURES, dropout_rate=0.0, dtype=jnp.float32
+    )
+    x = jnp.asarray(images)
+    y = jnp.asarray(labels.astype(np.int32))
+
+    @jax.jit
+    def step(params, stats):
+        def loss_of(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return cross_entropy_loss(logits, y), mut["batch_stats"]
+
+        (_, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, new_stats
+
+    for _ in range(steps):
+        params, stats = step(params, stats)
+    final_j = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    dice_jax = float(calculate_dice(final_j, y))
+
+    # CE on this tiny fixture (two 2^3 foreground corners) caps macro
+    # dice around ~0.3; the load-bearing assertion is the cross-stack
+    # parity bound, the floor just proves real learning happened
+    assert dice_jax > 0.25, f"training failed to converge (dice={dice_jax})"
+    assert abs(dice_jax - dice_torch) <= 0.01, (dice_jax, dice_torch)
 
 
 def test_train_mode_bn_matches_torch_batch_stats():
