@@ -91,30 +91,65 @@ def _read_bytes(path: str) -> bytes:
         return f.read()
 
 
+def _parse_affine(raw: bytes, end: str) -> np.ndarray:
+    """Affine from the 348-byte header: sform > qform > pixdim fallback."""
+    pixdim = struct.unpack_from(end + "8f", raw, 76)
+    qform_code, sform_code = struct.unpack_from(end + "2h", raw, 252)
+    if sform_code > 0:
+        affine = np.eye(4)
+        affine[0] = struct.unpack_from(end + "4f", raw, 280)
+        affine[1] = struct.unpack_from(end + "4f", raw, 296)
+        affine[2] = struct.unpack_from(end + "4f", raw, 312)
+        return affine
+    if qform_code > 0:
+        quat = struct.unpack_from(end + "6f", raw, 256)
+        return _quaternion_to_affine(*quat, pixdim)
+    return np.diag([pixdim[1], pixdim[2], pixdim[3], 1.0])
+
+
+def _header_endianness(path: str, raw: bytes) -> str:
+    (sizeof_hdr,) = struct.unpack_from("<i", raw, 0)
+    if sizeof_hdr == 348:
+        return "<"
+    if struct.unpack_from(">i", raw, 0)[0] == 348:
+        return ">"
+    raise ValueError(f"{path}: not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
+
+
+def load_nifti_header(path: str) -> tuple[np.ndarray, bytes]:
+    """Header-only probe: (affine, raw 348-byte header) without decoding
+    the voxel payload.
+
+    The prediction-export path (test_model.py:306-309 semantics) needs
+    only the source affine/header to stamp onto the saved prediction;
+    for a gzipped 192^3 volume a full decode costs seconds of host
+    inflate. ``gzip.GzipFile.read(348)`` decompresses only the leading
+    stream blocks, so this is ~constant-time regardless of volume size.
+    """
+    if str(path).endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            raw = f.read(HEADER_SIZE)
+    else:
+        with open(path, "rb") as f:
+            raw = f.read(HEADER_SIZE)
+    if len(raw) < HEADER_SIZE:
+        raise ValueError(f"{path}: truncated NIfTI header ({len(raw)} bytes)")
+    end = _header_endianness(path, raw)
+    return _parse_affine(raw, end), raw
+
+
 def load_nifti(path: str) -> NiftiImage:
     """Load a .nii or .nii.gz NIfTI-1 file."""
     raw = _read_bytes(path)
     if len(raw) < HEADER_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header ({len(raw)} bytes)")
 
-    (sizeof_hdr,) = struct.unpack_from("<i", raw, 0)
-    if sizeof_hdr == 348:
-        end = "<"
-    elif struct.unpack_from(">i", raw, 0)[0] == 348:
-        end = ">"
-    else:
-        raise ValueError(f"{path}: not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
+    end = _header_endianness(path, raw)
 
     dim = struct.unpack_from(end + "8h", raw, 40)
     datatype, bitpix = struct.unpack_from(end + "2h", raw, 70)
-    pixdim = struct.unpack_from(end + "8f", raw, 76)
     (vox_offset,) = struct.unpack_from(end + "f", raw, 108)
     scl_slope, scl_inter = struct.unpack_from(end + "2f", raw, 112)
-    qform_code, sform_code = struct.unpack_from(end + "2h", raw, 252)
-    quat = struct.unpack_from(end + "6f", raw, 256)
-    srow_x = struct.unpack_from(end + "4f", raw, 280)
-    srow_y = struct.unpack_from(end + "4f", raw, 296)
-    srow_z = struct.unpack_from(end + "4f", raw, 312)
 
     ndim = dim[0]
     shape = tuple(int(d) for d in dim[1 : 1 + max(ndim, 1)])
@@ -139,14 +174,7 @@ def load_nifti(path: str) -> NiftiImage:
         if data.dtype.byteorder not in ("=", "|"):
             data = data.astype(data.dtype.newbyteorder("="))
 
-    if sform_code > 0:
-        affine = np.eye(4)
-        affine[0], affine[1], affine[2] = srow_x, srow_y, srow_z
-    elif qform_code > 0:
-        affine = _quaternion_to_affine(*quat, pixdim)
-    else:
-        affine = np.diag([pixdim[1], pixdim[2], pixdim[3], 1.0])
-
+    affine = _parse_affine(raw, end)
     return NiftiImage(data=data, affine=affine, header_bytes=raw[:HEADER_SIZE])
 
 

@@ -39,6 +39,29 @@ def test_header_passthrough_preserves_geometry(tmp_path):
     np.testing.assert_array_equal(out.data, pred)
 
 
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+def test_header_only_probe_matches_full_load(tmp_path, suffix):
+    """load_nifti_header must return the same affine/header bytes as the
+    full decode, without touching the voxel payload (test_model.py export
+    path uses it to avoid a second full gzip inflate per sample)."""
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(9, 8, 7)).astype(np.float32)
+    affine = np.diag([2.0, 1.5, 1.0, 1.0])
+    affine[:3, 3] = [5, -4, 3]
+    path = str(tmp_path / f"vol{suffix}")
+    nifti.save_nifti(data, path, affine)
+    full = nifti.load_nifti(path)
+    probe_affine, probe_header = nifti.load_nifti_header(path)
+    np.testing.assert_allclose(probe_affine, full.affine, atol=1e-5)
+    assert probe_header == full.header_bytes
+    # stamping a prediction with the probed header preserves geometry
+    dst = str(tmp_path / f"pred{suffix}")
+    nifti.save_nifti(
+        np.ones_like(data, np.uint8), dst, affine=probe_affine, header=probe_header
+    )
+    np.testing.assert_allclose(nifti.load_nifti(dst).affine, affine, atol=1e-5)
+
+
 def test_scl_slope_applied(tmp_path):
     data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
     path = str(tmp_path / "scl.nii")
