@@ -233,14 +233,15 @@ class UpConv(nn.Module):
 
     With kernel == stride, every output voxel receives exactly one
     kernel tap, so the transpose conv is algebraically a per-voxel
-    matmul followed by depth-to-space interleaving. That formulation is
-    used here instead of lax.conv_transpose: the dilated-convolution
-    lowering was the single hottest op of the train step (XLA fused it
-    into a ~150 ms full-resolution kernel over lane-padded buffers),
-    while einsum + reshape stays compact channel-first and fuses
-    cleanly. Parameter names/shapes match flax nn.ConvTranspose
-    ('kernel' (2,2,2,Cin,Cout), 'bias'), so checkpoints are
-    layout-independent.
+    matmul followed by depth-to-space interleaving (vs the
+    lax.conv_transpose lowering, whose dilated conv was a ~150 ms
+    full-resolution kernel over lane-padded buffers). The matmul +
+    interleave runs through ops/upconv.py's custom-VJP formulation,
+    which pins every contraction so the volume axis stays lane-minor —
+    the naive einsum's backward relayouted full-resolution tensors to
+    channel-minor (~16 ms/step of copies at 192^3). Parameter
+    names/shapes match flax nn.ConvTranspose ('kernel'
+    (2,2,2,Cin,Cout), 'bias'), so checkpoints are layout-independent.
     """
 
     features: int
@@ -248,6 +249,8 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from multimodal_segmentation_project_tpu.ops.upconv import upconv2x_cf
+
         cin = x.shape[1]
         kernel = self.param(
             "kernel",
@@ -258,13 +261,7 @@ class UpConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
-        b, _, d, h, w = x.shape
-        x = x.astype(self.dtype)
-        k = kernel.astype(self.dtype)
-        # out[b,o,2d+a,2h+p,2w+q] = sum_i x[b,i,d,h,w] * k[a,p,q,i,o]
-        t = jnp.einsum("bidhw,apqio->bodahpwq", x, k)
-        out = t.reshape(b, self.features, 2 * d, 2 * h, 2 * w)
-        return out + bias.astype(self.dtype).reshape(1, -1, 1, 1, 1)
+        return upconv2x_cf(x.astype(self.dtype), kernel, bias)
 
 
 class DecoderStage(nn.Module):
@@ -300,17 +297,23 @@ class DecoderStage(nn.Module):
 def max_pool_cf(x: jax.Array) -> jax.Array:
     """2x stride-2 max pool on (B, C, D, H, W).
 
-    Non-overlapping windows, so pooling is reshape + max over the three
-    factor axes. This avoids lax.reduce_window, whose backward lowers to
-    a slow full-resolution select-and-scatter on TPU; the reshape-max
-    backward is a fused compare-and-mask. (Gradient-of-max tie-breaking
+    Non-overlapping windows, so pooling is max over window factor axes.
+    This avoids lax.reduce_window, whose backward lowers to a slow
+    full-resolution select-and-scatter on TPU. The factorization is
+    layout-aware: D and H (sublane/major dims) pool via a reshape + max,
+    but W (the minor/lane dim) pools via two stride-2 lane slices — a
+    reshape that splits the lane dim into (w/2, 2) forces the whole
+    tensor into a T(2,128)-tiled layout whose backward materializes 8-d
+    broadcast/select monsters (profiled ~30 ms/step at 192^3; the
+    strided form is ~8x faster fwd+bwd). (Gradient-of-max tie-breaking
     differs from torch's first-match rule only on exactly-equal floats.)
     """
     b, c, d, h, w = x.shape
     # floor semantics for odd extents (torch MaxPool3d drops the tail)
     x = x[:, :, : d // 2 * 2, : h // 2 * 2, : w // 2 * 2]
-    x = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2, 2)
-    return jnp.max(x, axis=(3, 5, 7))
+    x = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2 * 2)
+    x = jnp.max(x, axis=(3, 5))
+    return jnp.maximum(x[..., 0::2], x[..., 1::2])
 
 
 class UNet3D(nn.Module):

@@ -21,23 +21,28 @@ Per grid step (b, d, h-tile):
      (Cin, TH, WP) -> (Cin, TH*WP) panel reshapes are lane-aligned
      (Mosaic rejects reshapes that collapse a non-128-multiple lane
      dim — the raw W=192 cannot be collapsed directly).
-  2. assemble the im2col panel A (27*Cin, TH*WP): one lane-aligned
-     reshape per (kd, kh) plus a lane roll for the kw in {1, 2} shifts
-     (cyclic wrap only pollutes columns >= WP-2, which are never
-     stored);
-  3. one MXU matmul  out = w @ A  with fp32 accumulation
-     (K = 27*Cin = 432 at C=16 — a well-utilized contraction, vs
-     K=Cin=16 if the 27 shifts were summed as separate dots);
-  4. write the (Cout, TH, :W) tile back compact.
+  2. assemble a 9-slab im2col panel A (9*Cin, TH*WP): one lane-aligned
+     reshape per (kd, kh). The kw in {0,1,2} shifts are NOT assembled
+     into the panel: a lane roll commutes with the matmul's N axis
+     (W @ rollL(A, kw) == rollL(W @ A, kw)), so the kernel runs three
+     dots w_kw @ A and lane-rolls the two shifted RESULTS (Cout x
+     TH*WP) instead of 18 rolled panel slabs (27*Cin x TH*WP rows
+     through fp32 casts). Measured -29% on the 192^3 16->16 forward;
+     the wrap garbage stays in columns >= WP-2, never stored.
+  3. fp32-accumulate the three dots, write the (Cout, TH, :W) tile.
 
 Backward reuses the same machinery:
   * dx = the same conv kernel on the padded cotangent with
     spatially-flipped, in/out-transposed weights (transpose-conv
     identity);
-  * dw accumulates A @ g_tile^T into one (27*Cin, Cout) block across
-    the grid (TPU grid steps are sequential, so read-modify-write on
-    the aliased output block is race-free); g is zero-padded to the
-    same WP so the garbage panel columns contribute exactly zero;
+  * dw: base_kdh @ rollL(base,kw)-style products are re-expressed as
+    A9 @ rollR(g, kw)^T, and the three kw-rolls of the cotangent tile
+    are STACKED along the dot's N axis: one dot (9*Cin, TH*WP) x
+    (TH*WP, 3*Cout) per depth plane — 96 MXU pass-equivalents vs 224
+    for the old (27*Cin) x (TH*WP) x (Cout) shape at Cin=32 (the
+    packed N fills 3x more lanes). Accumulated into one (9*Cin,
+    3*Cout) block across the sequential grid; g is zero-padded to WP
+    so rolled-in wrap columns contribute exactly zero;
   * db is a plain XLA reduction.
 
 Fusion boundary: bias is fused here; BatchNorm/ReLU/dropout stay in
@@ -114,15 +119,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_weights(w: jax.Array) -> jax.Array:
-    """(3,3,3,Cin,Cout) -> (Cout, 27*Cin) with [kd,kh,kw,cin] minor order."""
+    """(3,3,3,Cin,Cout) -> (3, Cout, 9*Cin): one (Cout, 9*Cin) weight
+    matrix per kw tap, rows ordered [kd, kh, cin] to match the 9-slab
+    panel."""
     k3, _, _, cin, cout = w.shape
     assert k3 == 3
-    return jnp.transpose(w, (4, 0, 1, 2, 3)).reshape(cout, 27 * cin)
+    # (kw, cout, kd, kh, cin)
+    return jnp.transpose(w, (2, 4, 0, 1, 3)).reshape(3, cout, 9 * cin)
 
 
 def unpack_weight_grads(dw_packed: jax.Array, cin: int, cout: int) -> jax.Array:
-    """(27*Cin, Cout) -> (3,3,3,Cin,Cout)."""
-    return dw_packed.reshape(3, 3, 3, cin, cout)
+    """(9*Cin, 3*Cout) [rows (kd,kh,ci), cols (kw,co)] -> (3,3,3,Cin,Cout)."""
+    return jnp.transpose(
+        dw_packed.reshape(3, 3, cin, 3, cout), (0, 1, 3, 2, 4)
+    )
 
 
 def _pad_for_kernel(x: jax.Array) -> jax.Array:
@@ -139,22 +149,17 @@ def _pad_for_kernel(x: jax.Array) -> jax.Array:
 
 
 def _assemble_panel(xtile, panel, *, cin, th, wp, td_off=0):
-    """im2col: panel[(kd*3+kh)*3+kw block] = rolled (Cin, TH*WP) slab."""
+    """9-slab im2col: panel[(kd*3+kh) block] = (Cin, TH*WP) slab.
+
+    No rolls, no casts — the kw shifts happen on the dot RESULTS (fwd)
+    or on the cotangent tile (dw), which are Cout-row-sized instead of
+    27*Cin-row-sized."""
     for kd in range(3):
         for kh in range(3):
-            base = xtile[:, td_off + kd, kh : kh + th, :].reshape(cin, th * wp)
-            # Mosaic's lane rotate is 32-bit only: roll in fp32, cast back
-            base32 = base.astype(jnp.float32)
-            for kw in range(3):
-                t = (kd * 3 + kh) * 3 + kw
-                # roll left by kw == roll right by (len - kw); wrap only
-                # pollutes the last columns, which are never stored
-                shifted = (
-                    base
-                    if kw == 0
-                    else pltpu.roll(base32, th * wp - kw, axis=1).astype(base.dtype)
-                )
-                panel[pl.ds(t * cin, cin), :] = shifted
+            t = kd * 3 + kh
+            panel[pl.ds(t * cin, cin), :] = xtile[
+                :, td_off + kd, kh : kh + th, :
+            ].reshape(cin, th * wp)
 
 
 def _tile_dma(x_ref, xtile, dma_sem, slot, b, d0, h0, td, th):
@@ -200,9 +205,21 @@ def _fwd_kernel(
     cin, cout, td, th, w_dim, wp, n_ht, n_d,
 ):
     slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    n = th * wp
     for t in range(td):
         _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
-        acc = jnp.dot(w_ref[:], panel[:], preferred_element_type=jnp.float32)
+        p = panel[:]
+        # kw-split: three dots + two result rolls (see module docstring).
+        # rollL(W @ A, kw) == W @ rollL(A, kw); wrap garbage stays in
+        # columns >= WP-2 of each row, which are never stored.
+        acc = jnp.dot(w_ref[0], p, preferred_element_type=jnp.float32)
+        acc1 = jnp.dot(w_ref[1], p, preferred_element_type=jnp.float32)
+        acc2 = jnp.dot(w_ref[2], p, preferred_element_type=jnp.float32)
+        acc = (
+            acc
+            + pltpu.roll(acc1, n - 1, axis=1)
+            + pltpu.roll(acc2, n - 2, axis=1)
+        )
         acc = acc.reshape(cout, th, wp)
         out_ref[0, :, t, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
 
@@ -231,7 +248,7 @@ def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
         out_shape=jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, cin, td + 2, th + 8, wp), dtype),
-            pltpu.VMEM((27 * cin, th * wp), dtype),
+            pltpu.VMEM((9 * cin, th * wp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -250,23 +267,32 @@ def _conv_apply(x: jax.Array, w_packed: jax.Array, cout: int) -> jax.Array:
 
 
 def _dw_kernel(
-    x_ref, g_ref, dw_ref, xtile, panel, dma_sem, *,
+    x_ref, g_ref, dw_ref, xtile, panel, g3, dma_sem, *,
     cin, cout, td, th, wp, n_ht, n_d,
 ):
     slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    n = th * wp
     # accumulate into dw_ref between dots (not into a local): keeping a
     # live fp32 accumulator across unrolled dots doubles the Mosaic
-    # stack footprint and blows the 16 MB scoped-VMEM budget
+    # stack footprint and blows the scoped-VMEM budget
     for t in range(td):
         _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
         g_tile = g_ref[0, :, t, :, :].reshape(cout, th * wp)
+        # stack the three kw-rolls of g along the dot's N axis:
+        # dw_(kd,kh),kw = base_kdh @ rollR(g, kw)^T, rolled-in wrap
+        # columns hit g's zero padding (g is zero beyond w_dim).
+        # Mosaic's lane rotate is 32-bit only: roll in fp32, cast back.
+        g32 = g_tile.astype(jnp.float32)
+        g3[pl.ds(0, cout), :] = g_tile
+        g3[pl.ds(cout, cout), :] = pltpu.roll(g32, 1, axis=1).astype(g_tile.dtype)
+        g3[pl.ds(2 * cout, cout), :] = pltpu.roll(g32, 2, axis=1).astype(g_tile.dtype)
         pdw = jax.lax.dot_general(
             panel[:],
-            g_tile,
+            g3[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (27*Cin, Cout)
+        )  # (9*Cin, 3*Cout)
         if t == 0:
 
             @pl.when(first)
@@ -282,7 +308,8 @@ def _dw_kernel(
 
 
 def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
-    """Accumulate dW_packed (27*Cin, Cout) over the whole volume."""
+    """Accumulate dW_packed (9*Cin, 3*Cout) over the whole volume
+    (rows (kd,kh,ci), cols (kw,co); see unpack_weight_grads)."""
     b, cin, d, h, w_dim = x.shape
     cout = g.shape[1]
     xp = _pad_for_kernel(x)
@@ -308,12 +335,13 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
             ),
         ],
         out_specs=pl.BlockSpec(
-            (27 * cin, cout), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
+            (9 * cin, 3 * cout), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, cin, td + 2, th + 8, wp), x.dtype),
-            pltpu.VMEM((27 * cin, th * wp), x.dtype),
+            pltpu.VMEM((9 * cin, th * wp), x.dtype),
+            pltpu.VMEM((3 * cout, th * wp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
