@@ -84,11 +84,14 @@ class PallasConv3(nn.Module):
     use_xla: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, fold_scale=None, fold_shift=None) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, fold_scale=None, fold_shift=None, return_stats=False
+    ):
         from multimodal_segmentation_project_tpu.ops.halo import halo_conv3
         from multimodal_segmentation_project_tpu.ops.pallas_conv import (
             conv3x3x3_cf,
             conv3x3x3_cf_reference,
+            conv3x3x3_cf_stats,
         )
         from multimodal_segmentation_project_tpu.parallel.mesh import (
             active_spatial_mesh,
@@ -105,11 +108,59 @@ class PallasConv3(nn.Module):
         if fold_scale is not None:
             kernel = kernel * fold_scale.reshape(1, 1, 1, 1, -1)
             bias = bias * fold_scale + fold_shift
+        if return_stats:
+            # fused conv + per-channel output stats (single-device path;
+            # DoubleConv gates this off under an active mesh)
+            if self.use_xla:
+                y = conv3x3x3_cf_reference(x.astype(self.dtype), kernel, bias)
+                yf = y.astype(jnp.float32)
+                return y, jnp.sum(yf, axis=(0, 2, 3, 4)), jnp.sum(
+                    yf * yf, axis=(0, 2, 3, 4)
+                )
+            return conv3x3x3_cf_stats(x.astype(self.dtype), kernel, bias)
         conv_fn = conv3x3x3_cf_reference if self.use_xla else conv3x3x3_cf
         mesh = active_spatial_mesh()
         if mesh is not None:
             return halo_conv3(conv_fn, x.astype(self.dtype), kernel, bias, mesh)
         return conv_fn(x.astype(self.dtype), kernel, bias)
+
+
+class BatchNormCF(nn.Module):
+    """Training-mode BatchNorm that consumes precomputed per-channel
+    (sum, sumsq) statistics — the fused outputs of
+    ops.pallas_conv.conv3x3x3_cf_stats — instead of re-reading the
+    volume. Variable structure ('scale'/'bias' params, 'mean'/'var'
+    batch_stats) and numerics (biased variance E[x^2]-E[x]^2 clamped at
+    0, momentum running update) match flax nn.BatchNorm exactly, so
+    checkpoints interchange with the unfused paths. The normalize is
+    applied as one per-channel affine y = x*A + B (XLA fuses it with
+    the following ReLU/dropout/cast into a single pass)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y: jax.Array, s1: jax.Array, s2: jax.Array) -> jax.Array:
+        c = y.shape[1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        n = y.shape[0] * y.shape[2] * y.shape[3] * y.shape[4]
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return y.astype(jnp.float32) * a.reshape(1, -1, 1, 1, 1) + b.reshape(
+            1, -1, 1, 1, 1
+        )
 
 
 def _pallas_conv_ok(conv_impl: str, cin: int, cout: int, h: int, w: int) -> bool:
@@ -148,6 +199,7 @@ class DoubleConv(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
     conv_impl: str = "auto"
+    fused_bn_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -165,28 +217,53 @@ class DoubleConv(nn.Module):
                 self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]
             )
             if use_pallas or spatial:
+                from multimodal_segmentation_project_tpu.parallel.mesh import (
+                    active_mesh_devices,
+                )
+
                 conv = PallasConv3(
                     self.features, self.dtype, use_xla=not use_pallas, name=f"conv{i}"
                 )
-                bn = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    dtype=jnp.float32,
-                    axis=1,
-                    name=f"bn{i}",
+                # fused conv+BN-stats (conv3x3x3_cf_stats): the kernel
+                # can emit the BN batch stats itself. Measured NET
+                # NEUTRAL-TO-WORSE on the 192^3 step (XLA already
+                # piggybacks the stats reduce on the bf16-cast pass it
+                # must run anyway, while the fused path adds in-kernel
+                # VPU reduces plus a g_eff elementwise pass in the
+                # backward), so it is opt-in; kept as a tested
+                # capability (tests/test_models.py fused-parity test).
+                # Multi-device paths keep flax BN, whose jnp reduces
+                # become global sync-BN under the sharded batch.
+                fuse_stats = (
+                    self.fused_bn_stats
+                    and train
+                    and not spatial
+                    and active_mesh_devices() == 1
                 )
-                if train:
-                    x = bn(conv(x.astype(self.dtype)))
+                if fuse_stats:
+                    y, s1, s2 = conv(x.astype(self.dtype), return_stats=True)
+                    x = BatchNormCF(name=f"bn{i}")(y, s1, s2)
                 else:
-                    # eval BN is per-channel affine: extract (scale, shift)
-                    # by probing the module on tiny inputs (identical flax
-                    # numerics, shared params) and fold them into the conv
-                    # — one fewer full elementwise pass over the volume.
-                    dummy = jnp.zeros((1, self.features, 1, 1, 1), jnp.float32)
-                    t = bn(dummy).reshape(-1)
-                    s = bn(jnp.ones_like(dummy)).reshape(-1) - t
-                    x = conv(x.astype(self.dtype), fold_scale=s, fold_shift=t)
+                    bn = nn.BatchNorm(
+                        use_running_average=not train,
+                        momentum=0.9,
+                        epsilon=1e-5,
+                        dtype=jnp.float32,
+                        axis=1,
+                        name=f"bn{i}",
+                    )
+                    if train:
+                        x = bn(conv(x.astype(self.dtype)))
+                    else:
+                        # eval BN is per-channel affine: extract (scale,
+                        # shift) by probing the module on tiny inputs
+                        # (identical flax numerics, shared params) and fold
+                        # them into the conv — one fewer full elementwise
+                        # pass over the volume.
+                        dummy = jnp.zeros((1, self.features, 1, 1, 1), jnp.float32)
+                        t = bn(dummy).reshape(-1)
+                        s = bn(jnp.ones_like(dummy)).reshape(-1) - t
+                        x = conv(x.astype(self.dtype), fold_scale=s, fold_shift=t)
                 x = nn.relu(x)
                 if self.dropout_rate > 0.0:
                     # channel-wise dropout (torch Dropout3d): one mask
@@ -278,6 +355,7 @@ class DecoderStage(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.bfloat16
     conv_impl: str = "auto"
+    fused_bn_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
@@ -290,7 +368,8 @@ class DecoderStage(nn.Module):
             ).astype(self.dtype)
         x = jnp.concatenate([skip, x], axis=1)
         return DoubleConv(
-            self.features, self.dropout_rate, self.dtype, self.conv_impl, name="conv"
+            self.features, self.dropout_rate, self.dtype, self.conv_impl,
+            self.fused_bn_stats, name="conv"
         )(x, train)
 
 
@@ -338,6 +417,7 @@ class UNet3D(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False
     conv_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    fused_bn_stats: bool = False  # opt-in conv+BN-stats fusion (see DoubleConv)
 
     @nn.compact
     def __call__(
@@ -370,7 +450,8 @@ class UNet3D(nn.Module):
         for i, feats in enumerate(self.features):
             cls = pick_block(feats, x.shape[1], x.shape[3], x.shape[4])
             x = cls(
-                feats, self.dropout_rate, self.dtype, self.conv_impl, name=f"enc{i}"
+                feats, self.dropout_rate, self.dtype, self.conv_impl,
+                self.fused_bn_stats, name=f"enc{i}"
             )(x, train)
             skips.append(x)
             x = max_pool_cf(x)
@@ -378,7 +459,7 @@ class UNet3D(nn.Module):
         cls = pick_block(self.features[-1] * 2, x.shape[1], x.shape[3], x.shape[4])
         x = cls(
             self.features[-1] * 2, self.dropout_rate, self.dtype, self.conv_impl,
-            name="bottleneck",
+            self.fused_bn_stats, name="bottleneck",
         )(x, train)
 
         bottleneck_gap = None
@@ -391,11 +472,17 @@ class UNet3D(nn.Module):
             # resolution with 2*feats input channels
             cls = pick_stage(feats, 2 * feats, skip.shape[3], skip.shape[4])
             x = cls(
-                feats, self.dropout_rate, self.dtype, self.conv_impl, name=f"dec{i}"
+                feats, self.dropout_rate, self.dtype, self.conv_impl,
+                self.fused_bn_stats, name=f"dec{i}"
             )(x, skip, train)
 
         # 1x1x1 head as channel-first einsum: a (.., 4)-minor conv output
-        # would be lane-padded 32x (see module docstring).
+        # would be lane-padded 32x (see module docstring). The einsum
+        # relayouts the C=16 input to channel-minor for the contraction
+        # (~3 ms/step of copies at 192^3), but the "clean" dot_general
+        # over a flattened volume axis measured far WORSE: XLA windowed
+        # the 7M-column dot into while-loops with dynamic slicing
+        # (~47 ms/step). Keep the einsum.
         kernel = self.param(
             "head_kernel",
             nn.initializers.lecun_normal(),

@@ -224,28 +224,87 @@ def _fwd_kernel(
         out_ref[0, :, t, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
 
 
-def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype):
+def _fwd_stats_kernel(
+    x_ref, w_ref, b_ref, out_ref, stats_ref, xtile, panel, dma_sem, *,
+    cin, cout, td, th, w_dim, wp, n_ht, n_d,
+):
+    """Forward conv + bias with fused per-channel output statistics:
+    stats_ref accumulates (sum, sumsq) of the bf16-rounded biased
+    output across the sequential grid (the dw accumulation pattern), so
+    training-mode BatchNorm never re-reads the volume for its stats
+    pass. Bias is added in fp32 before the cast so the stats see
+    exactly the tensor BN normalizes."""
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        p = panel[:]
+        acc = jnp.dot(w_ref[0], p, preferred_element_type=jnp.float32)
+        acc1 = jnp.dot(w_ref[1], p, preferred_element_type=jnp.float32)
+        acc2 = jnp.dot(w_ref[2], p, preferred_element_type=jnp.float32)
+        acc = (
+            acc
+            + pltpu.roll(acc1, n - 1, axis=1)
+            + pltpu.roll(acc2, n - 2, axis=1)
+        )
+        acc = acc + b_ref[:]
+        y_bf = acc.reshape(cout, th, wp)[:, :, :w_dim].astype(out_ref.dtype)
+        out_ref[0, :, t, :, :] = y_bf
+        # rank-2 throughout: Mosaic rejects rank-1 vectors, and the
+        # (cout, th, w_dim) -> (cout, th*w_dim) reshape would collapse a
+        # non-128-multiple lane dim
+        yf = y_bf.astype(jnp.float32)
+        s1 = jnp.sum(jnp.sum(yf, axis=2), axis=1, keepdims=True)  # (cout, 1)
+        s2 = jnp.sum(jnp.sum(yf * yf, axis=2), axis=1, keepdims=True)
+        s12 = jnp.concatenate([s1, s2], axis=1)  # (cout, 2)
+        if t == 0:
+
+            @pl.when(first)
+            def _():
+                stats_ref[:] = s12
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                stats_ref[:] = stats_ref[:] + s12
+
+        else:
+            stats_ref[:] = stats_ref[:] + s12
+
+
+def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype, with_stats=False):
     td = _pick_tile_d(d, cin)
     th = _pick_tile_h(h, cin)
     n_dt = d // td
     n_ht = h // th
+    kfn = _fwd_stats_kernel if with_stats else _fwd_kernel
     kernel = partial(
-        _fwd_kernel, cin=cin, cout=cout, td=td, th=th, w_dim=w_dim, wp=wp,
+        kfn, cin=cin, cout=cout, td=td, th=th, w_dim=w_dim, wp=wp,
         n_ht=n_ht, n_d=n_dt,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
+    ]
+    out_spec = pl.BlockSpec(
+        (1, cout, td, th, w_dim),
+        lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype)
+    if with_stats:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias (cout, 1)
+        out_spec = (
+            out_spec,
+            pl.BlockSpec((cout, 2), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (out_shape, jax.ShapeDtypeStruct((cout, 2), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(b, n_dt, n_ht),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
-        ],
-        out_specs=pl.BlockSpec(
-            (1, cout, td, th, w_dim),
-            lambda bb, dd, hh: (bb, 0, dd, hh, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, cin, td + 2, th + 8, wp), dtype),
             pltpu.VMEM((9 * cin, th * wp), dtype),
@@ -385,6 +444,57 @@ def _conv_bwd_rule(res, g):
 
 
 conv3x3x3_cf.defvjp(_conv_fwd_rule, _conv_bwd_rule)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def conv3x3x3_cf_stats(x: jax.Array, w: jax.Array, b: jax.Array):
+    """SAME 3x3x3 conv + bias with fused per-channel output statistics.
+
+    Returns ``(y, s1, s2)`` where ``s1[c] = sum(y[:, c])`` and
+    ``s2[c] = sum(y[:, c]**2)`` over batch and volume, accumulated
+    inside the forward kernel — training-mode BatchNorm consumes them
+    directly instead of re-reading the full volume (a ~1.3 ms reduce
+    per 192^3 conv). Differentiable in all outputs: the stats
+    cotangents fold into an effective output gradient
+    ``g + gs1 + 2*y*gs2`` (one fused elementwise pass in the backward).
+    """
+    return _conv_forward_stats(x, w, b)
+
+
+def _conv_forward_stats(x, w, b):
+    bdim, cin, d, h, w_dim = x.shape
+    cout = w.shape[4]
+    w_packed = pack_weights(w).astype(x.dtype)
+    xp = _pad_for_kernel(x)
+    wp = xp.shape[-1]
+    call = _make_conv(bdim, cin, cout, d, h, w_dim, wp, x.dtype, with_stats=True)
+    out, stats = call(xp, w_packed, b.astype(jnp.float32).reshape(cout, 1))
+    return out, stats[:, 0], stats[:, 1]
+
+
+def _conv_stats_fwd_rule(x, w, b):
+    out, s1, s2 = _conv_forward_stats(x, w, b)
+    return (out, s1, s2), (x, w, out)
+
+
+def _conv_stats_bwd_rule(res, cts):
+    x, w, y = res
+    g, gs1, gs2 = cts
+    cin, cout = w.shape[3], w.shape[4]
+    g_eff = (
+        g.astype(jnp.float32)
+        + gs1.reshape(1, -1, 1, 1, 1)
+        + 2.0 * y.astype(jnp.float32) * gs2.reshape(1, -1, 1, 1, 1)
+    ).astype(g.dtype)
+    w_flip = w[::-1, ::-1, ::-1, :, :]
+    w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
+    dx = _conv_apply(g_eff, pack_weights(w_t).astype(g.dtype), cin)
+    dw = unpack_weight_grads(_conv_dw(x, g_eff), cin, cout).astype(w.dtype)
+    db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
+    return dx, dw, db
+
+
+conv3x3x3_cf_stats.defvjp(_conv_stats_fwd_rule, _conv_stats_bwd_rule)
 
 
 def conv3x3x3_cf_reference(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:

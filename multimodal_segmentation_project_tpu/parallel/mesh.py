@@ -124,6 +124,12 @@ def active_spatial_mesh() -> Mesh | None:
     return None
 
 
+def active_mesh_devices() -> int:
+    """Total devices in the active mesh (1 when none is set)."""
+    m = _ACTIVE_MESH
+    return 1 if m is None else m.size
+
+
 class use_spatial_mesh:
     """Context manager: activate a mesh for model tracing (tests)."""
 

@@ -114,3 +114,48 @@ def test_bf16_compute_fp32_params():
         lambda v, x: model.apply(v, x, train=False), variables, x
     )
     assert logits.dtype == jnp.float32
+
+
+def test_fused_bn_stats_matches_unfused():
+    """The single-device fused conv+BN-stats train path (pallas kernel
+    emitting (sum, sumsq), BatchNormCF normalizing from them) must match
+    the XLA-conv + flax-BatchNorm path: outputs, updated batch_stats,
+    and gradients. Same params serve both (checkpoint compatibility)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 1, 16, 16, 16)).astype(np.float32))
+    kw = dict(out_channels=4, features=(4, 8), dropout_rate=0.0, dtype=jnp.float32)
+    fused = UNet3D(conv_impl="pallas", fused_bn_stats=True, **kw)
+    plain = UNet3D(conv_impl="xla", **kw)      # XLA convs + flax BN
+    variables = plain.init({"params": jax.random.key(1)}, x)
+
+    yf, mf = fused.apply(variables, x, train=True, mutable=["batch_stats"])
+    yp, mp = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp), rtol=2e-3, atol=2e-3)
+    for a, b in zip(
+        jax.tree.leaves(mf["batch_stats"]), jax.tree.leaves(mp["batch_stats"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    gf = jax.grad(lambda p: loss(fused, p))(variables["params"])
+    gp = jax.grad(lambda p: loss(plain, p))(variables["params"])
+    flat_f = jax.tree_util.tree_flatten_with_path(gf)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    for (path, a), (_, b) in zip(flat_f, flat_p):
+        keys = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "conv" in keys and keys.endswith("bias"):
+            # conv bias grads through train-mode BN are mathematically
+            # zero (mean subtraction cancels constant channel offsets);
+            # both stacks return only roundoff noise there.
+            continue
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, rtol=5e-3, atol=5e-3,
+            err_msg=keys,
+        )
