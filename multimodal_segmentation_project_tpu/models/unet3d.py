@@ -476,13 +476,14 @@ class UNet3D(nn.Module):
                 self.fused_bn_stats, name=f"dec{i}"
             )(x, skip, train)
 
-        # 1x1x1 head as channel-first einsum: a (.., 4)-minor conv output
-        # would be lane-padded 32x (see module docstring). The einsum
-        # relayouts the C=16 input to channel-minor for the contraction
-        # (~3 ms/step of copies at 192^3), but the "clean" dot_general
-        # over a flattened volume axis measured far WORSE: XLA windowed
-        # the 7M-column dot into while-loops with dynamic slicing
-        # (~47 ms/step). Keep the einsum.
+        # 1x1x1 head: a (.., 4)-minor conv output would be lane-padded
+        # 32x (see module docstring). The channel-first einsum form
+        # relayouts the C=16 input to channel-minor for its contraction
+        # (~3 ms of copies each way at 192^3) and a flat-volume
+        # dot_general gets windowed into while-loops (~47 ms), so the
+        # projection runs as a Pallas VPU kernel (ops/head.py) on the
+        # single-device path. Under a mesh the einsum (auto-SPMD
+        # partitionable) is kept.
         kernel = self.param(
             "head_kernel",
             nn.initializers.lecun_normal(),
@@ -492,9 +493,23 @@ class UNet3D(nn.Module):
         bias = self.param(
             "head_bias", nn.initializers.zeros_init(), (self.out_channels,), jnp.float32
         )
-        logits = jnp.einsum(
-            "bidhw,io->bodhw", x.astype(jnp.float32), kernel
-        ) + bias.reshape(1, -1, 1, 1, 1)
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_mesh_devices,
+        )
+
+        use_pallas_head = (
+            self.conv_impl != "xla"
+            and active_mesh_devices() == 1
+            and (jax.default_backend() == "tpu" or self.conv_impl == "pallas")
+        )
+        if use_pallas_head:
+            from multimodal_segmentation_project_tpu.ops.head import head1x1_cf
+
+            logits = head1x1_cf(x, kernel, bias)
+        else:
+            logits = jnp.einsum(
+                "bidhw,io->bodhw", x.astype(jnp.float32), kernel
+            ) + bias.reshape(1, -1, 1, 1, 1)
 
         if return_features:
             return logits, bottleneck_gap
