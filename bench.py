@@ -133,6 +133,111 @@ def main() -> None:
     details["reference_baseline_vps"] = REFERENCE_BASELINE_VPS
     details["inference_vs_reference_est"] = round(infer_vps / REFERENCE_BASELINE_VPS, 3)
 
+    # ---- eval end-to-end: device forward + host metrics readout + NIfTI
+    # export with header probe and writer-thread overlap (test_model.py
+    # protocol, not just the device forward) ----
+    try:
+        import tempfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        from multimodal_segmentation_project_tpu.data.nifti import (
+            load_nifti_header, save_nifti,
+        )
+
+        with tempfile.TemporaryDirectory() as tmp:
+            srcs = []
+            for i in range(4):
+                p = os.path.join(tmp, f"case{i}.nii.gz")
+                save_nifti(
+                    np.asarray(batches[2 + i][0][0, 0], np.float32), p, np.eye(4)
+                )
+                srcs.append(p)
+            pool = ThreadPoolExecutor(max_workers=1)
+
+            def export(pred_np, src, idx):
+                affine, hdr = load_nifti_header(src)
+                save_nifti(
+                    pred_np.astype(np.uint8),
+                    os.path.join(tmp, f"pred{idx}.nii.gz"),
+                    affine=affine, header=hdr,
+                )
+
+            t0 = time.time()
+            futs = []
+            for i in range(4):
+                img, lbl = batches[2 + i]
+                pred, organ = predict(variables, img, lbl)
+                float(organ["dice"][0])
+                futs.append(pool.submit(export, np.asarray(pred[0]), srcs[i], i))
+            for f_ in futs:
+                f_.result()
+            e2e = 4 / (time.time() - t0)
+            pool.shutdown()
+        details["eval_end_to_end_volumes_per_sec"] = round(e2e, 4)
+    except Exception as e:  # never let the secondary metric kill the bench
+        details["eval_end_to_end_error"] = str(e)[:200]
+
+    # ---- MXU utilization accounting (vs v5e ~197 TFLOP/s bf16 peak) ----
+    V = SIZE**3
+    feats = [16, 32, 64, 128]
+    conv_macs = 0
+    vol = V
+    cin = 1
+    for f_ in feats:  # encoder
+        conv_macs += 27 * vol * (cin * f_ + f_ * f_)
+        cin = f_
+        vol //= 8
+    conv_macs += 27 * vol * (128 * 256 + 256 * 256)  # bottleneck
+    up_in = 256
+    for f_ in reversed(feats):  # decoder: upconv + DoubleConv on concat
+        conv_macs += 8 * vol * up_in * f_  # 2x2x2 stride-2 upconv
+        vol *= 8
+        conv_macs += 27 * vol * (2 * f_ * f_ + f_ * f_)
+        up_in = f_
+    head_macs = V * feats[0] * 4
+    fwd_flops = 2 * (conv_macs + head_macs)
+    train_flops = 3 * fwd_flops  # fwd + dx + dw
+    peak = 197e12
+    details["train_tflops_per_step"] = round(train_flops / 1e12, 3)
+    details["train_achieved_tflops"] = round(train_flops / (1000 / train_sps) * 1000 / 1e12, 2)
+    details["train_mxu_utilization_pct"] = round(
+        100 * train_flops * train_sps / peak, 2
+    )
+    details["mxu_note"] = (
+        "model widths cap MXU row fill at Cout/128 (12.5-50%); utilization "
+        "is quoted against full peak"
+    )
+
+    # ---- secondary: batch-2 step (throughput headroom beyond the
+    # reference's batch-1 protocol) ----
+    try:
+        def batch2():
+            labels = rng.integers(0, 4, size=(2, SIZE, SIZE, SIZE)).astype(np.int32)
+            images = (
+                labels[:, None] * 0.25
+                + rng.normal(0, 0.1, (2, 1, SIZE, SIZE, SIZE))
+            ).astype(np.float32)
+            return jnp.asarray(images), jnp.asarray(labels)
+
+        b2 = [batch2() for _ in range(6)]
+        jax.block_until_ready(b2)
+        state2 = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 1, 32, 32, 32), jnp.float32),
+            tx, 1e-3,
+        )
+        state2, m2 = step(state2, *b2[0], jax.random.key(0))
+        float(m2["loss"])
+        state2, m2 = step(state2, *b2[1], jax.random.key(1))
+        float(m2["loss"])
+        t0 = time.time()
+        for i in range(4):
+            state2, m2 = step(state2, *b2[2 + (i % 4)], jax.random.key(50 + i))
+        float(m2["loss"])
+        sps2 = 2 * 4 / (time.time() - t0)
+        details["train_samples_per_sec_batch2"] = round(sps2, 4)
+    except Exception as e:
+        details["batch2_error"] = str(e)[:200]
+
     with open(
         os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w"
     ) as f:
