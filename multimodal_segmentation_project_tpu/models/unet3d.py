@@ -120,6 +120,15 @@ class PallasConv3(nn.Module):
             return conv3x3x3_cf_stats(x.astype(self.dtype), kernel, bias)
         conv_fn = conv3x3x3_cf_reference if self.use_xla else conv3x3x3_cf
         mesh = active_spatial_mesh()
+        if mesh is None and not self.use_xla:
+            # data-parallel-only meshes still need the shard_map island
+            # for the pallas_call (XLA cannot auto-partition custom
+            # calls); the XLA conv path auto-partitions fine
+            from multimodal_segmentation_project_tpu.parallel.mesh import (
+                active_multi_mesh,
+            )
+
+            mesh = active_multi_mesh()
         if mesh is not None:
             return halo_conv3(conv_fn, x.astype(self.dtype), kernel, bias, mesh)
         return conv_fn(x.astype(self.dtype), kernel, bias)

@@ -47,27 +47,34 @@ def _exchange_halo_d(xl: jax.Array, n_sp: int) -> jax.Array:
 
 def halo_conv3(conv_fn, x: jax.Array, w: jax.Array, b: jax.Array, mesh):
     """Run ``conv_fn(x, w, b)`` (a SAME 3x3x3 channel-first conv) with
-    x's D axis sharded over the mesh's spatial axis.
+    x's D axis sharded over the mesh's spatial axis and/or its batch
+    axis sharded over 'data'.
 
     ``conv_fn`` is either the Pallas kernel (ops.pallas_conv.conv3x3x3_cf)
     or the XLA reference conv — any (x, w, b) -> y with SAME padding.
-    The batch axis is sharded over 'data' when divisible (training),
-    else replicated (e.g. batch-1 full-volume eval, test_model.py
-    protocol).
+    A pallas_call cannot be auto-partitioned by XLA, so EVERY
+    multi-device mesh needs the explicit shard_map island — including
+    the data-parallel-only case (n_spatial == 1), where the batch is
+    embarrassingly parallel and no halo exchange is issued. The batch
+    axis is sharded over 'data' when divisible (training), else
+    replicated (e.g. batch-1 full-volume eval, test_model.py protocol).
     """
     n_sp = mesh.shape[SPATIAL_AXIS]
     n_dp = mesh.shape[DATA_AXIS]
-    if n_sp == 1 or x.shape[2] % n_sp != 0:
-        # no spatial axis, or D not divisible (tiny bottlenecks on deep
-        # meshes): run unsharded semantics and let auto-SPMD place it
-        return conv_fn(x, w, b)
+    spatial = n_sp > 1 and x.shape[2] % n_sp == 0
     batch = DATA_AXIS if (n_dp > 1 and x.shape[0] % n_dp == 0) else None
-    spec = P(batch, None, SPATIAL_AXIS, None, None)
+    if not spatial and batch is None:
+        # nothing shardable (e.g. batch-1 eval on a dp-only mesh, or a
+        # tiny bottleneck D on a deep spatial mesh with no batch split):
+        # run unsharded semantics and let auto-SPMD place/replicate it
+        return conv_fn(x, w, b)
+    spec = P(batch, None, SPATIAL_AXIS if spatial else None, None, None)
 
     def body(xl, wl, bl):
-        xh = _exchange_halo_d(xl, n_sp)
-        y = conv_fn(xh, wl, bl)
-        return y[:, :, 1:-1]
+        if spatial:
+            xh = _exchange_halo_d(xl, n_sp)
+            return conv_fn(xh, wl, bl)[:, :, 1:-1]
+        return conv_fn(xl, wl, bl)
 
     return jax.shard_map(
         body,

@@ -130,6 +130,17 @@ def active_mesh_devices() -> int:
     return 1 if m is None else m.size
 
 
+def active_multi_mesh() -> Mesh | None:
+    """The active mesh IF it spans more than one device (any axis),
+    else None. Pallas custom calls cannot be auto-partitioned by XLA,
+    so they must run inside a shard_map island on EVERY multi-device
+    mesh — including data-parallel-only ones."""
+    m = _ACTIVE_MESH
+    if m is not None and m.size > 1:
+        return m
+    return None
+
+
 class use_spatial_mesh:
     """Context manager: activate a mesh for model tracing (tests)."""
 

@@ -117,6 +117,47 @@ def test_unet_grad_parity_under_spatial_sharding(n_spatial, conv_impl):
         )
 
 
+def test_unet_parity_data_parallel_only_pallas():
+    """Data-parallel-only mesh (n_spatial=1): the pallas_call still
+    needs its shard_map island (XLA cannot auto-partition custom
+    calls). Forward AND gradients must match single-device output with
+    the kernel forced on, batch sharded over all 8 devices."""
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    model = UNet3D(**MODEL_KW, conv_impl="pallas")
+    images, labels = synth(batch=8)
+    variables = model.init({"params": jax.random.key(0)}, images[:1])
+    ref = model.apply(variables, images, train=False)
+    loss_fn = get_loss_fn("ce_tversky")
+
+    def loss_of(params, images, labels):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images, train=True, mutable=["batch_stats"],
+        )
+        return loss_fn(logits, labels)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_of)(
+        variables["params"], images, labels
+    )
+
+    with use_spatial_mesh(mesh):
+        got = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jax.device_put(images, batch_sharding(mesh, 5))
+        )
+        got_loss, got_grads = jax.jit(jax.value_and_grad(loss_of))(
+            variables["params"],
+            jax.device_put(images, batch_sharding(mesh, 5)),
+            jax.device_put(labels, batch_sharding(mesh, 4)),
+        )
+        got = np.asarray(got)
+        got_loss = float(got_loss)
+        got_grads = jax.device_get(got_grads)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=5e-4, atol=5e-4)
+    assert got_loss == pytest.approx(float(ref_loss), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
 def test_spatial_sharding_with_remat():
     """nn.remat around blocks containing shard_map islands must trace
     and differentiate (the production 192^3 config uses remat=True)."""
