@@ -31,8 +31,12 @@ checkpoints interchange with any conv path.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _pack_kernel(kernel: jax.Array, dtype) -> jax.Array:
@@ -62,9 +66,86 @@ def _slice8(ct: jax.Array) -> jax.Array:
     return jnp.concatenate([t[3] for t in parts], axis=1)
 
 
+def _d2s_kernel(x_ref, w_ref, b_ref, out_ref, *, ci, co, td, th, w, wp):
+    """Per tile: one (8*Cout, Cin) @ (Cin, TH*WP) dot, then write the
+    depth-to-space phases directly: the W pair (2w, 2w+1) is packed into
+    one uint32 lane (the caller bitcasts the u32 output to bf16, a free
+    reinterpretation of the same bytes), the H phases go out as stride-2
+    sublane stores (32-bit strided stores are supported; bf16 ones are
+    not), and the D phases are plain indices."""
+    for t in range(td):
+        xt = x_ref[0, :, t, :, :].reshape(ci, th * wp)
+        y = jnp.dot(w_ref[:], xt, preferred_element_type=jnp.float32)
+        y = y.reshape(2, 2, 2, co, th, wp) + b_ref[:].reshape(1, 1, 1, co, 1, 1)
+        for a in range(2):
+            for p in range(2):
+                z0 = y[a, p, 0].astype(jnp.bfloat16)[:, :, :w]
+                z1 = y[a, p, 1].astype(jnp.bfloat16)[:, :, :w]
+                u0 = pltpu.bitcast(z0, jnp.uint16).astype(jnp.uint32)
+                u1 = pltpu.bitcast(z1, jnp.uint16).astype(jnp.uint32)
+                out_ref[0, :, 2 * t + a, p::2, :] = u0 | (u1 << 16)
+
+
+def _d2s_tiles(d: int, h: int, w: int):
+    """(td, th) when the Pallas depth-to-space kernel supports the
+    shape, else None."""
+    if w > 128 or w % 8 != 0:
+        return None
+    td = 2 if d % 2 == 0 else None
+    th = next((t for t in (8, 4, 2) if h % t == 0), None)
+    if td is None or th is None:
+        return None
+    return td, th
+
+
+def _upconv_forward_d2s(x, kernel, bias, td, th):
+    b, cin, d, h, w = x.shape
+    cout = kernel.shape[4]
+    wp = 128
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w)))
+    k2 = _pack_kernel(kernel, x.dtype)
+    out_u32 = pl.pallas_call(
+        partial(_d2s_kernel, ci=cin, co=cout, td=td, th=th, w=w, wp=wp),
+        grid=(b, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(
+                (1, cin, td, th, wp),
+                lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, 2 * td, 2 * th, w),
+            lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout, 2 * d, 2 * h, w), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, k2, bias.astype(jnp.float32).reshape(cout, 1))
+    out = jax.lax.bitcast_convert_type(out_u32, jnp.bfloat16)  # (..., w, 2)
+    return out.reshape(b, cout, 2 * d, 2 * h, 2 * w)
+
+
 def _upconv_forward(x, kernel, bias):
     b, cin, d, h, w = x.shape
     cout = kernel.shape[4]
+    if x.dtype == jnp.bfloat16:
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_mesh_devices,
+        )
+
+        tiles = _d2s_tiles(d, h, w)
+        if tiles is not None and active_mesh_devices() == 1:
+            # single-device bf16 path: Pallas depth-to-space kernel
+            # (the einsum's lowering costs ~7 ms/step at the full-res
+            # level in interleave relayout copies); under a mesh the
+            # einsum stays auto-SPMD-partitionable
+            return _upconv_forward_d2s(x, kernel, bias, *tiles)
     t = jnp.einsum("bidhw,apqio->bodahpwq", x, kernel.astype(x.dtype))
     out = t.reshape(b, cout, 2 * d, 2 * h, 2 * w)
     return out + bias.astype(out.dtype).reshape(1, -1, 1, 1, 1)

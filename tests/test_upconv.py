@@ -48,6 +48,29 @@ def test_upconv_grads_match_einsum():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4)
 
 
+def test_upconv_d2s_kernel_matches_einsum():
+    """The Pallas depth-to-space forward (u32 W-pair packing, strided H
+    stores) must match the einsum on bf16 inputs at supported shapes."""
+    from multimodal_segmentation_project_tpu.ops.upconv import (
+        _d2s_tiles, _upconv_forward_d2s,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 8, 16)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, 8, 4)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32) * 0.1)
+    tiles = _d2s_tiles(4, 8, 16)
+    assert tiles is not None
+    got = _upconv_forward_d2s(x, k, b, *tiles)
+    want = einsum_ref(x.astype(jnp.float32), k, b)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=0.05, atol=0.05
+    )
+
+
 def test_upconv_bf16_compute():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 4)).astype(np.float32)).astype(
