@@ -23,6 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+if os.environ.get("MMSEG_TEST_RESOURCE_LOG"):
+    # diagnostic: log per-test VMA-map and thread counts to find
+    # resource leaks that abort the CPU backend late in the suite
+    import threading
+
+    @pytest.fixture(autouse=True)
+    def _resource_log(request):
+        yield
+        with open("/proc/self/maps") as f:
+            n_maps = sum(1 for _ in f)
+        with open(os.environ["MMSEG_TEST_RESOURCE_LOG"], "a") as f:
+            f.write(
+                f"{n_maps}\t{threading.active_count()}\t{request.node.nodeid}\n"
+            )
+
 
 @pytest.fixture
 def rng():
