@@ -101,6 +101,9 @@ class TrainerConfig:
     features: tuple = (16, 32, 64, 128)
     num_classes: int = 4
     n_spatial: int = 1
+    # when the global batch cannot fill the device count, auto-raise
+    # n_spatial (halo-exchange volume sharding) to use the idle chips
+    auto_spatial: bool = True
     checkpoint_every: int = 25
     log_name: str = "train_log.csv"
     ckpt_prefix: str = "checkpoint"
@@ -146,25 +149,63 @@ class Trainer:
         kd_loss_fn: Callable | None = None,
     ):
         self.cfg = cfg
-        self.paths = ExperimentPaths.create(cfg.experiment_dir, cfg.experiment_name)
-        write_config(
-            os.path.join(self.paths.root, "config.txt"),
-            {**cfg.__dict__, **cfg.extra_config},
+        # every filesystem write is rank-0-gated: on a multi-host pod the
+        # other processes compute the identical replicated state and
+        # write nothing (reference parity: accelerator.is_main_process)
+        is_main = jax.process_index() == 0
+        self.paths = ExperimentPaths.create(
+            cfg.experiment_dir, cfg.experiment_name, make_dirs=is_main
         )
+        if is_main:
+            write_config(
+                os.path.join(self.paths.root, "config.txt"),
+                {**cfg.__dict__, **cfg.extra_config},
+            )
         self.device_log = os.path.join(self.paths.logs, "device_usage.log")
-        log_device_usage(self.device_log)
+        if is_main:
+            log_device_usage(self.device_log)
 
+        if sample_shape is None:
+            img0, _ = train_dataset[0]
+            sample_shape = (1,) + img0.shape
+
+        n_total = max(len(jax.devices()), 1)
         n_data = cfg.n_data
-        avail = max(len(jax.devices()) // cfg.n_spatial, 1)
+        n_spatial = cfg.n_spatial
+        avail = max(n_total // n_spatial, 1)
         if n_data is None:
             # largest data-parallel degree that divides the global batch.
             # NOTE: batch_size is the GLOBAL batch (the reference's is
-            # per-device, run_training.sh:24 x num_processes); warn when
-            # the choice would leave chips idle.
+            # per-device, run_training.sh:24 x num_processes).
             n_data = next(d for d in range(avail, 0, -1) if cfg.batch_size % d == 0)
-        if n_data < avail:
-            self._warn_idle_chips(n_data, avail)
-        self.mesh = make_mesh(n_data=n_data, n_spatial=cfg.n_spatial)
+            if (
+                cfg.auto_spatial
+                and n_spatial == 1
+                and n_data < n_total
+                and n_total % n_data == 0
+            ):
+                # the batch alone cannot fill the mesh (the shipped
+                # default BATCH_SIZE=1 on an N-chip pod): auto-raise the
+                # spatial axis so halo-exchange sharding of the volume's
+                # D dimension uses the idle chips instead of warning
+                # about them. Candidate must divide D at EVERY pooling
+                # level or the deep convs fall back to replicated work.
+                cand = n_total // n_data
+                depth = sample_shape[2]
+                depths = [depth >> i for i in range(len(cfg.features) + 1)]
+                while cand > 1 and any(d % cand for d in depths):
+                    cand //= 2
+                if cand > 1:
+                    n_spatial = cand
+                    self._print(
+                        f"[MESH] global batch {cfg.batch_size} fills only "
+                        f"{n_data}/{n_total} chips with data parallelism — "
+                        f"auto-raising spatial sharding to n_spatial={cand} "
+                        f"({n_data}x{cand} mesh, volume D split across chips)"
+                    )
+        if n_data * n_spatial < n_total:
+            self._warn_idle_chips(n_data * n_spatial, n_total)
+        self.mesh = make_mesh(n_data=n_data, n_spatial=n_spatial)
         # convs consult the active mesh at trace time: with n_spatial>1
         # they run inside halo-exchange shard_map islands (ops/halo.py)
         set_active_mesh(self.mesh)
@@ -190,9 +231,6 @@ class Trainer:
         model = build_model(cfg)
         self.model = model
         tx = make_optimizer(cfg.weight_decay, cfg.grad_accum)
-        if sample_shape is None:
-            img0, _ = train_dataset[0]
-            sample_shape = (1,) + img0.shape
         state = create_train_state(
             model,
             jax.random.key(cfg.seed),
@@ -260,14 +298,13 @@ class Trainer:
         if self.cfg.verbose and jax.process_index() == 0:
             print(*args, flush=True)
 
-    def _warn_idle_chips(self, n_data: int, avail: int):
+    def _warn_idle_chips(self, used: int, total: int):
         msg = (
-            f"[WARN] global batch_size={self.cfg.batch_size} trains on only "
-            f"{n_data} of {avail} available data-parallel device groups — "
-            f"{avail - n_data} group(s) sit IDLE every step. batch_size here "
-            f"is the GLOBAL batch (the reference's --batch_size is "
-            f"per-device); set batch_size to a multiple of {avail} (e.g. "
-            f"{avail * max(1, self.cfg.batch_size)}) to use the whole mesh."
+            f"[WARN] the {used}-device mesh uses only {used} of {total} "
+            f"available chips — {total - used} sit IDLE every step. "
+            f"batch_size here is the GLOBAL batch (the reference's "
+            f"--batch_size is per-device); raise batch_size, or n_spatial, "
+            f"so n_data * n_spatial = {total}."
         )
         if jax.process_index() == 0:
             print("=" * 72, flush=True)
@@ -455,20 +492,32 @@ class Trainer:
             else:
                 train_metrics = self.train_epoch(epoch)
             val_metrics = self.eval_epoch()
+            if not val_metrics:
+                # empty validation loader: skip scheduler/best-model logic
+                # instead of KeyError-ing after a full training epoch (the
+                # reference crashes here too — train_unet.py:442 on an
+                # empty val split; "the reference also crashes" is not
+                # the bar)
+                if epoch == self.start_epoch:
+                    self._print(
+                        "[WARN] validation set is empty — scheduler, best-model "
+                        "checkpointing and early stopping are disabled"
+                    )
             if train_metrics.get("nonfinite", 0) > 0:
                 self._print(
                     f"[WARN] {train_metrics['nonfinite'] * 100:.1f}% of steps "
                     f"in epoch {epoch + 1} had non-finite gradients (skipped)"
                 )
 
-            if self.scheduler is not None:
+            if self.scheduler is not None and "dice" in val_metrics:
                 new_lr = self.scheduler.step(val_metrics["dice"])
                 self.state = self.state.with_lr(new_lr)
                 self._print(f"[LR] learning rate after epoch {epoch + 1}: {new_lr}")
 
             epoch_time = time.time() - epoch_start
             self._log_epoch(epoch, epoch_time, train_metrics, val_metrics)
-            log_device_usage(self.device_log)
+            if jax.process_index() == 0:
+                log_device_usage(self.device_log)
 
             if (epoch + 1) % cfg.checkpoint_every == 0:
                 name = f"{cfg.ckpt_prefix}_epoch{epoch + 1}_{cfg.experiment_name}.msgpack"
@@ -477,7 +526,7 @@ class Trainer:
                     epoch, train_metrics, val_metrics,
                 )
 
-            if val_metrics["dice"] > self.best_val_dice:
+            if val_metrics.get("dice", -1.0) > self.best_val_dice:
                 self.best_val_dice = val_metrics["dice"]
                 patience_counter = 0
                 name = f"{cfg.best_prefix}_{cfg.experiment_name}.msgpack"
@@ -496,10 +545,13 @@ class Trainer:
 
             summary = {"train": train_metrics, "val": val_metrics, "epoch": epoch + 1}
 
-        try:
-            plot_training_metrics(self.log_file, self.paths.plots, title=cfg.plot_title)
-        except Exception as e:  # plotting must never kill a finished run
-            self._print(f"[WARN] plotting failed: {e}")
+        if jax.process_index() == 0:
+            try:
+                plot_training_metrics(
+                    self.log_file, self.paths.plots, title=cfg.plot_title
+                )
+            except Exception as e:  # plotting must never kill a finished run
+                self._print(f"[WARN] plotting failed: {e}")
         total = time.time() - run_start
         self._print(
             f"[END] training completed in {format_time(total)}; "
@@ -509,6 +561,8 @@ class Trainer:
         return summary
 
     def _log_epoch(self, epoch, epoch_time, tm, vm):
+        if not vm:  # empty validation loader: NaN columns, keep the schema
+            vm = {k: float("nan") for k in ("loss", "dice", "iou", "acc")}
         self._print(
             f"[EPOCH] {epoch + 1}/{self.cfg.epochs} - {format_time(epoch_time)} | "
             f"Train Loss: {tm['loss']:.4f} | Val Loss: {vm['loss']:.4f} | "
@@ -627,6 +681,8 @@ class DannTrainer(Trainer):
         return tree
 
     def _log_epoch(self, epoch, epoch_time, tm, vm):
+        if not vm:
+            vm = {k: float("nan") for k in ("loss", "dice", "iou", "acc")}
         train_total = tm["task_loss"] + self.lambda_domain * tm["domain_loss"]
         self._print(
             f"[EPOCH] {epoch + 1}/{self.cfg.epochs} - {format_time(epoch_time)} | "

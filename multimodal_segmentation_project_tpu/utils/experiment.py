@@ -37,7 +37,12 @@ class ExperimentPaths:
     plots: str
 
     @classmethod
-    def create(cls, experiment_dir: str, experiment_name: str) -> "ExperimentPaths":
+    def create(
+        cls, experiment_dir: str, experiment_name: str, make_dirs: bool = True
+    ) -> "ExperimentPaths":
+        """``make_dirs=False`` builds the path object without touching
+        the filesystem — non-zero ranks on multi-host pods never write
+        (the reference gates with accelerator.is_main_process)."""
         root = os.path.join(experiment_dir, experiment_name)
         paths = cls(
             root=root,
@@ -45,8 +50,9 @@ class ExperimentPaths:
             logs=os.path.join(root, "logs"),
             plots=os.path.join(root, "plots"),
         )
-        for p in (paths.root, paths.checkpoints, paths.logs, paths.plots):
-            os.makedirs(p, exist_ok=True)
+        if make_dirs:
+            for p in (paths.root, paths.checkpoints, paths.logs, paths.plots):
+                os.makedirs(p, exist_ok=True)
         return paths
 
 

@@ -51,6 +51,9 @@ def add_common_args(parser: argparse.ArgumentParser, lr_default: float = 1e-3):
     # TPU-native extras
     parser.add_argument("--n_spatial", type=int, default=1,
                         help="shard the volume D axis over this many devices")
+    parser.add_argument("--no_auto_spatial", action="store_true",
+                        help="do not auto-raise n_spatial to fill idle chips "
+                             "when the global batch is smaller than the mesh")
     parser.add_argument("--n_data", type=int, default=None,
                         help="data-parallel mesh size (default: auto)")
     parser.add_argument("--no_remat", action="store_true",

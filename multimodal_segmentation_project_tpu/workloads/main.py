@@ -58,6 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lambda_domain", type=float, default=0.1)
     # TPU extras (forwarded to every driver)
     parser.add_argument("--n_spatial", type=int, default=1)
+    parser.add_argument("--no_auto_spatial", action="store_true")
     parser.add_argument("--n_data", type=int, default=None)
     parser.add_argument("--no_remat", action="store_true")
     parser.add_argument("--resume", type=str, default=None)

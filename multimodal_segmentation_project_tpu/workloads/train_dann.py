@@ -135,6 +135,7 @@ def main(args) -> dict:
         nan_guard=not getattr(args, "no_nan_guard", False),
         profile_first_epoch=getattr(args, "profile", False),
         n_spatial=args.n_spatial,
+        auto_spatial=not getattr(args, "no_auto_spatial", False),
         n_data=args.n_data,
         resume=args.resume,
         num_workers=args.num_workers,

@@ -56,6 +56,9 @@ def base_argv(data_root, exp_dir, extra=()):
         "--no_remat",
         "--num_workers", "0",
         "--dropout_rate", "0.0",
+        # keep the CLI suite off the spatial shard_map compile path; the
+        # auto-raise default is covered by tests/test_trainer.py
+        "--no_auto_spatial",
         *extra,
     ]
 
@@ -104,6 +107,30 @@ def test_train_then_eval(data_root, tmp_path):
     assert img.data.shape == (SIZE, SIZE, SIZE)
     vis = os.listdir(os.path.join(rd, "visualizations"))
     assert len(vis) == 4
+
+    # batched + sharded eval: --batch_size is honored (round-2 verdict
+    # item 9 — the loader used to hard-code 1), volumes spread over the
+    # data axis, ragged batches padded; per-sample rows and overall
+    # means must match the batch-1 protocol exactly
+    eval_args4 = test_model.build_parser().parse_args([
+        "--model_path", best,
+        "--data_root", str(data_root),
+        "--experiment_dir", str(exp),
+        "--model_name", "unet_test_b4",
+        "--precision", "fp32",
+        "--batch_size", "3",  # 4 volumes -> batches of 3 and 1+2 pad
+        "--no_visualizations",
+    ])
+    eval_args4.features = "4,8"
+    overall4 = tm.main(eval_args4)
+    for k in ("mean_dice_overall", "mean_iou_overall"):
+        assert overall4[k] == pytest.approx(overall[k], abs=1e-5), k
+    rd4 = [d for d in os.listdir(exp) if d.startswith("test_results_unet_test_b4")]
+    import csv as _csv
+
+    with open(os.path.join(exp, rd4[0], "metrics", "per_sample_metrics.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 4
 
 
 def test_finetune_from_pretrained(data_root, tmp_path):
