@@ -149,6 +149,38 @@ def per_class_dice_iou(pred_classes: jax.Array, labels: jax.Array, num_classes: 
     }
 
 
+def per_class_dice_iou_per_sample(
+    pred_classes: jax.Array, labels: jax.Array, num_classes: int = 4
+):
+    """Per-SAMPLE per-foreground-class (dice, iou, present): (B, C-1) each.
+
+    Identical numerics to :func:`per_class_dice_iou` at batch size 1;
+    used by the batched/sharded eval pipeline so each volume still gets
+    its own per-organ row (test_model.py:265-285 semantics) when several
+    volumes are packed into one device batch.
+    """
+    spatial = tuple(range(1, pred_classes.ndim))
+    inter, psum, tsum = [], [], []
+    for c in range(1, num_classes):
+        pm = pred_classes == c
+        tm = labels == c
+        inter.append(jnp.sum((pm & tm).astype(jnp.float32), axis=spatial))
+        psum.append(jnp.sum(pm.astype(jnp.float32), axis=spatial))
+        tsum.append(jnp.sum(tm.astype(jnp.float32), axis=spatial))
+    inter = jnp.stack(inter, axis=1)  # (B, C-1)
+    psum = jnp.stack(psum, axis=1)
+    tsum = jnp.stack(tsum, axis=1)
+    eps = 1e-5
+    dice = (2.0 * inter + eps) / (psum + tsum + eps)
+    iou = (inter + eps) / (psum + tsum - inter + eps)
+    present = tsum > 0
+    return {
+        "dice": jnp.where(present, dice, 0.0),
+        "iou": jnp.where(present, iou, 0.0),
+        "present": present,
+    }
+
+
 # ---- legacy binary metrics (reference utils/metrics.py:42-63) ----
 # Kept for API parity: 0.5-threshold binary dice/IoU/accuracy over
 # (B, 1, *spatial) probability volumes. The reference keeps these but no

@@ -45,7 +45,9 @@ from multimodal_segmentation_project_tpu.data.nifti import (
 from multimodal_segmentation_project_tpu.data.pipeline import DataLoader
 from multimodal_segmentation_project_tpu.engine import checkpoint as ckpt
 from multimodal_segmentation_project_tpu.engine.trainer import TrainerConfig, build_model
-from multimodal_segmentation_project_tpu.ops.metrics import per_class_dice_iou
+from multimodal_segmentation_project_tpu.ops.metrics import (
+    per_class_dice_iou_per_sample,
+)
 from multimodal_segmentation_project_tpu.workloads.common import parse_modalities
 
 ORGAN_COLORS = {1: (1.0, 0.0, 0.0), 2: (1.0, 0.65, 0.0), 3: (0.0, 0.5, 0.0)}
@@ -128,16 +130,51 @@ def visualize_prediction(image, label, pred, save_path):
 
 
 def make_predict_fn(model):
-    """Jitted full-volume forward -> (argmax classes, per-organ metrics)."""
+    """Jitted full-volume forward -> (argmax classes, per-SAMPLE organ
+    metrics (B, C-1)). With a data mesh active, the batch axis is
+    sharded so each device runs distinct volumes."""
 
     @jax.jit
     def predict(variables, images, labels):
         logits = model.apply(variables, images, train=False)
         pred = jnp.argmax(logits, axis=1)
-        organ = per_class_dice_iou(pred, labels, num_classes=logits.shape[1])
+        organ = per_class_dice_iou_per_sample(
+            pred, labels, num_classes=logits.shape[1]
+        )
         return pred, organ
 
     return predict
+
+
+def _eval_mesh_and_put(batch_size: int):
+    """Shard eval batches over the data axis when >1 device is present.
+
+    Returns (n_data, put) where ``put`` places a host batch with the
+    right sharding. Batch 1 (the reference protocol) keeps the
+    single-device path; any larger --batch_size spreads distinct
+    volumes across min(batch, n_devices) chips (round-2 verdict item 9:
+    standalone eval previously used one chip of a pod).
+    """
+    n_dev = max(jax.device_count(), 1)
+    n_data = next(
+        d for d in range(min(batch_size, n_dev), 0, -1) if batch_size % d == 0
+    )
+    if n_data <= 1:
+        return 1, jnp.asarray
+
+    from multimodal_segmentation_project_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        set_active_mesh,
+    )
+
+    mesh = make_mesh(n_data=n_data, n_spatial=1)
+    set_active_mesh(mesh)  # pallas convs need shard_map islands on a mesh
+
+    def put(a):
+        return jax.device_put(a, batch_sharding(mesh, np.ndim(a)))
+
+    return n_data, put
 
 
 def test_model(variables, model, test_dataset, args, results_dir) -> dict:
@@ -148,7 +185,15 @@ def test_model(variables, model, test_dataset, args, results_dir) -> dict:
         os.makedirs(d, exist_ok=True)
 
     predict = make_predict_fn(model)
-    loader = DataLoader(test_dataset, batch_size=1, shuffle=False, num_workers=2)
+    batch_size = max(1, int(getattr(args, "batch_size", 1) or 1))
+    n_data, put = _eval_mesh_and_put(batch_size)
+    if batch_size > 1:
+        print(
+            f"[EVAL] batch_size={batch_size}, sharded over {n_data} device(s)"
+        )
+    loader = DataLoader(
+        test_dataset, batch_size=batch_size, shuffle=False, num_workers=2
+    )
 
     # exports (PNG render + NIfTI gzip deflate) run on a writer thread so
     # host compression overlaps the next sample's device forward; the
@@ -182,62 +227,69 @@ def test_model(variables, model, test_dataset, args, results_dir) -> dict:
             print(f"Error exporting {name}: {e}")
             traceback.print_exc()
 
-    # warm-up compile on the first sample's shape (excluded from timing)
+    # warm-up compile on the full batch shape (excluded from timing)
     img0, lbl0 = test_dataset[0]
+    imgs_w = np.repeat(img0[None], batch_size, axis=0)
+    lbls_w = np.repeat(lbl0[None], batch_size, axis=0)
     t0 = time.time()
-    jax.block_until_ready(
-        predict(variables, jnp.asarray(img0[None]), jnp.asarray(lbl0[None]))
-    )
+    jax.block_until_ready(predict(variables, put(imgs_w), put(lbls_w)))
     compile_time = time.time() - t0
     print(f"[COMPILE] forward compiled in {compile_time:.1f}s")
 
     per_sample = []
     total_inference_time = 0.0
     loop_start = time.time()
-    for i, (images, labels) in enumerate(loader):
+    for bi, (images, labels) in enumerate(loader):
         try:
+            b = images.shape[0]
+            if b < batch_size:  # ragged final batch: pad, drop rows on host
+                pad = batch_size - b
+                images = np.concatenate([images, np.repeat(images[:1], pad, 0)], 0)
+                labels = np.concatenate([labels, np.repeat(labels[:1], pad, 0)], 0)
             start = time.time()
-            pred, organ = predict(variables, jnp.asarray(images), jnp.asarray(labels))
+            pred, organ = predict(variables, put(images), put(labels))
             pred = np.asarray(jax.block_until_ready(pred))
-            inference_time = time.time() - start
-            total_inference_time += inference_time
+            batch_time = time.time() - start
+            total_inference_time += batch_time
 
-            dice = np.asarray(organ["dice"])  # absent organs already 0.0
+            dice = np.asarray(organ["dice"])  # (B, C-1); absent organs 0.0
             iou = np.asarray(organ["iou"])
-            row = {"filename": None, "inference_time": inference_time}
-            for c, name in enumerate(ORGAN_NAMES):
-                row[f"dice_{name}"] = float(dice[c])
-                row[f"iou_{name}"] = float(iou[c])
+            for j in range(b):
+                i = bi * batch_size + j
+                row = {"filename": None, "inference_time": batch_time / b}
+                for c, name in enumerate(ORGAN_NAMES):
+                    row[f"dice_{name}"] = float(dice[j, c])
+                    row[f"iou_{name}"] = float(iou[j, c])
 
-            sample = test_dataset.samples[i]
-            original_filename = os.path.basename(sample.image_path)
-            for ext in (".nii.gz", ".nii"):
-                if original_filename.endswith(ext):
-                    original_filename = original_filename[: -len(ext)]
-            # disambiguate across datasets: the reference keys outputs on
-            # the bare basename (test_model.py:303) and silently
-            # overwrites when two datasets share case names.
-            original_filename = f"{sample.dataset_name}_{original_filename}"
-            row["filename"] = original_filename
+                sample = test_dataset.samples[i]
+                original_filename = os.path.basename(sample.image_path)
+                for ext in (".nii.gz", ".nii"):
+                    if original_filename.endswith(ext):
+                        original_filename = original_filename[: -len(ext)]
+                # disambiguate across datasets: the reference keys outputs
+                # on the bare basename (test_model.py:303) and silently
+                # overwrites when two datasets share case names.
+                original_filename = f"{sample.dataset_name}_{original_filename}"
+                row["filename"] = original_filename
 
-            print(
-                f"[{i + 1}/{len(test_dataset)}] {original_filename}: "
-                + " ".join(f"{n}={row[f'dice_{n}']:.4f}" for n in ORGAN_NAMES)
-                + f" ({inference_time:.3f}s)"
-            )
-
-            export_futures.append(
-                writer_pool.submit(
-                    export_sample,
-                    np.asarray(images[0]), np.asarray(labels[0]), pred[0],
-                    original_filename, sample.image_path,
+                print(
+                    f"[{i + 1}/{len(test_dataset)}] {original_filename}: "
+                    + " ".join(f"{n}={row[f'dice_{n}']:.4f}" for n in ORGAN_NAMES)
+                    + f" ({batch_time / b:.3f}s)"
                 )
-            )
-            per_sample.append(row)
+
+                export_futures.append(
+                    writer_pool.submit(
+                        export_sample,
+                        np.asarray(images[j]), np.asarray(labels[j]), pred[j],
+                        original_filename, sample.image_path,
+                    )
+                )
+                per_sample.append(row)
         except Exception as e:  # per-sample resilience (test_model.py:327-331)
             import traceback
 
-            print(f"Error processing sample {i + 1}: {e}")
+            print(f"Error processing batch {bi + 1}: {e}")
             traceback.print_exc()
             continue
 
@@ -328,7 +380,16 @@ def main(args) -> dict:
             f.write(f"{k}: {v}\n")
 
     print(f"\n[TEST] starting testing with model: {args.model_name}")
-    return test_model(variables, model, test_dataset, args, results_dir)
+    try:
+        return test_model(variables, model, test_dataset, args, results_dir)
+    finally:
+        # don't leak the eval mesh into in-process callers (orchestrator,
+        # tests); the trainer sets its own mesh on construction
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            set_active_mesh,
+        )
+
+        set_active_mesh(None)
 
 
 if __name__ == "__main__":

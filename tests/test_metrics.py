@@ -102,3 +102,30 @@ def test_legacy_binary_trio():
     assert float(metrics.iou_score(jnp.array(pred), jnp.array(target))) == pytest.approx(want_iou, rel=1e-6)
     want_acc = np.mean(p == target)
     assert float(metrics.accuracy_score(jnp.array(pred), jnp.array(target))) == pytest.approx(want_acc, rel=1e-6)
+
+
+def test_per_class_per_sample_matches_batch1():
+    """per_class_dice_iou_per_sample == per_class_dice_iou applied to
+    each volume separately (the batched/sharded eval path's contract)."""
+    import numpy as np
+    from multimodal_segmentation_project_tpu.ops.metrics import (
+        per_class_dice_iou,
+        per_class_dice_iou_per_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    pred = rng.integers(0, 4, size=(3, 6, 6, 6))
+    lbl = rng.integers(0, 4, size=(3, 6, 6, 6))
+    lbl[1][lbl[1] == 2] = 0  # one volume with an absent organ
+    got = per_class_dice_iou_per_sample(pred, lbl, num_classes=4)
+    for j in range(3):
+        want = per_class_dice_iou(pred[j : j + 1], lbl[j : j + 1], num_classes=4)
+        np.testing.assert_allclose(
+            np.asarray(got["dice"][j]), np.asarray(want["dice"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["iou"][j]), np.asarray(want["iou"]), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["present"][j]), np.asarray(want["present"])
+        )
