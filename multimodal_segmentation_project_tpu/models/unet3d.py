@@ -454,6 +454,29 @@ class UNet3D(nn.Module):
                 return DecoderStage
             return r_stage
 
+        # Pool with the Pallas backward (ops/pool.py) on the
+        # single-device TPU path — same gate as the Pallas 1x1 head
+        # below: a pallas_call cannot sit bare inside a pjit-partitioned
+        # graph, and multi-device runs keep the XLA chain (whose
+        # backward pjit shards natively). Measured 4.8/1.5/0.3 ms/step
+        # faster than the XLA chain's autodiff at the three pooled
+        # levels (docs/PERFORMANCE.md round-3 table).
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_mesh_devices,
+        )
+
+        use_pallas_pool = (
+            self.conv_impl != "xla"
+            and active_mesh_devices() == 1
+            and (jax.default_backend() == "tpu" or self.conv_impl == "pallas")
+        )
+        if use_pallas_pool:
+            from multimodal_segmentation_project_tpu.ops.pool import max_pool2x_cf
+
+            pool_fn = max_pool2x_cf
+        else:
+            pool_fn = max_pool_cf
+
         x = x.astype(self.dtype)
         skips = []
         for i, feats in enumerate(self.features):
@@ -463,7 +486,7 @@ class UNet3D(nn.Module):
                 self.fused_bn_stats, name=f"enc{i}"
             )(x, train)
             skips.append(x)
-            x = max_pool_cf(x)
+            x = pool_fn(x)
 
         cls = pick_block(self.features[-1] * 2, x.shape[1], x.shape[3], x.shape[4])
         x = cls(

@@ -56,6 +56,7 @@ reference used throughout.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -67,7 +68,14 @@ LANE = 128
 
 
 def _interpret() -> bool:
-    """Run in interpreter mode off-TPU (CPU tests, virtual meshes)."""
+    """Run in interpreter mode off-TPU (CPU tests, virtual meshes).
+
+    ``MMSEG_FORCE_MOSAIC=1`` forces real Mosaic lowering regardless of
+    the default backend — used when AOT-compiling for a TPU *topology*
+    (compile-only client, no TPU devices attached) from a CPU process,
+    e.g. tests/test_aot_topology.py."""
+    if os.environ.get("MMSEG_FORCE_MOSAIC"):
+        return False
     return jax.default_backend() != "tpu"
 
 
@@ -325,6 +333,22 @@ def _conv_apply(x: jax.Array, w_packed: jax.Array, cout: int) -> jax.Array:
     return call(xp, w_packed)
 
 
+def _conv_apply_padded(
+    xp: jax.Array, w_packed: jax.Array, cout: int, w_dim: int
+) -> jax.Array:
+    """Run the forward kernel on an ALREADY _pad_for_kernel-padded
+    input. ``w_dim`` is the unpadded W (the lane pad rounds it away).
+    Used by the VJP, which saves the padded input as its residual so
+    the dw kernel never re-pads x (the re-pads were measured at several
+    ms/step across the net's convs)."""
+    b, cin = xp.shape[0], xp.shape[1]
+    wp = xp.shape[-1]
+    d = xp.shape[2] - 2
+    h = xp.shape[3] - 8
+    call = _make_conv(b, cin, cout, d, h, w_dim, wp, xp.dtype)
+    return call(xp, w_packed)
+
+
 def _dw_kernel(
     x_ref, g_ref, dw_ref, xtile, panel, g3, dma_sem, *,
     cin, cout, td, th, wp, n_ht, n_d,
@@ -366,12 +390,15 @@ def _dw_kernel(
             dw_ref[:] = dw_ref[:] + pdw
 
 
-def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
+def _conv_dw(xp: jax.Array, g: jax.Array) -> jax.Array:
     """Accumulate dW_packed (9*Cin, 3*Cout) over the whole volume
-    (rows (kd,kh,ci), cols (kw,co); see unpack_weight_grads)."""
-    b, cin, d, h, w_dim = x.shape
-    cout = g.shape[1]
-    xp = _pad_for_kernel(x)
+    (rows (kd,kh,ci), cols (kw,co); see unpack_weight_grads).
+
+    ``xp`` is the _pad_for_kernel-padded forward input, reused straight
+    from the VJP residual — this kernel issues NO pad of x. Only the
+    cotangent is W-padded to the lane multiple."""
+    b, cout, d, h, w_dim = g.shape
+    cin = xp.shape[1]
     wp = xp.shape[-1]
     # zero-pad g's W to the same WP: garbage panel columns contribute 0
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w_dim)))
@@ -398,9 +425,9 @@ def _conv_dw(x: jax.Array, g: jax.Array) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, td + 2, th + 8, wp), x.dtype),
-            pltpu.VMEM((9 * cin, th * wp), x.dtype),
-            pltpu.VMEM((3 * cout, th * wp), x.dtype),
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), xp.dtype),
+            pltpu.VMEM((9 * cin, th * wp), xp.dtype),
+            pltpu.VMEM((3 * cout, th * wp), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -427,17 +454,24 @@ def _conv_forward(x, w, b):
 
 
 def _conv_fwd_rule(x, w, b):
-    return _conv_forward(x, w, b), (x, w)
+    # save the PADDED input: the dw kernel consumes the identical
+    # _pad_for_kernel layout, so the backward never re-pads x
+    cout = w.shape[4]
+    w_packed = pack_weights(w).astype(x.dtype)
+    xp = _pad_for_kernel(x)
+    out = _conv_apply_padded(xp, w_packed, cout, x.shape[-1])
+    out = out + b.astype(out.dtype).reshape(1, -1, 1, 1, 1)
+    return out, (xp, w)
 
 
 def _conv_bwd_rule(res, g):
-    x, w = res
+    xp, w = res
     cin, cout = w.shape[3], w.shape[4]
     # dx: conv of g with spatially-flipped, in/out-swapped weights
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))  # (3,3,3,Cout,Cin)
     dx = _conv_apply(g, pack_weights(w_t).astype(g.dtype), cin)
-    dw_packed = _conv_dw(x, g)
+    dw_packed = _conv_dw(xp, g)
     dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
     return dx, dw, db
@@ -461,11 +495,12 @@ def conv3x3x3_cf_stats(x: jax.Array, w: jax.Array, b: jax.Array):
     return _conv_forward_stats(x, w, b)
 
 
-def _conv_forward_stats(x, w, b):
+def _conv_forward_stats(x, w, b, xp=None):
     bdim, cin, d, h, w_dim = x.shape
     cout = w.shape[4]
     w_packed = pack_weights(w).astype(x.dtype)
-    xp = _pad_for_kernel(x)
+    if xp is None:
+        xp = _pad_for_kernel(x)
     wp = xp.shape[-1]
     call = _make_conv(bdim, cin, cout, d, h, w_dim, wp, x.dtype, with_stats=True)
     out, stats = call(xp, w_packed, b.astype(jnp.float32).reshape(cout, 1))
@@ -473,12 +508,13 @@ def _conv_forward_stats(x, w, b):
 
 
 def _conv_stats_fwd_rule(x, w, b):
-    out, s1, s2 = _conv_forward_stats(x, w, b)
-    return (out, s1, s2), (x, w, out)
+    xp = _pad_for_kernel(x)
+    out, s1, s2 = _conv_forward_stats(x, w, b, xp=xp)
+    return (out, s1, s2), (xp, w, out)
 
 
 def _conv_stats_bwd_rule(res, cts):
-    x, w, y = res
+    xp, w, y = res
     g, gs1, gs2 = cts
     cin, cout = w.shape[3], w.shape[4]
     g_eff = (
@@ -489,7 +525,7 @@ def _conv_stats_bwd_rule(res, cts):
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
     dx = _conv_apply(g_eff, pack_weights(w_t).astype(g.dtype), cin)
-    dw = unpack_weight_grads(_conv_dw(x, g_eff), cin, cout).astype(w.dtype)
+    dw = unpack_weight_grads(_conv_dw(xp, g_eff), cin, cout).astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
     return dx, dw, db
 

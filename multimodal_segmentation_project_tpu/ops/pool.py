@@ -1,0 +1,192 @@
+"""2x2x2 stride-2 max pool with a Pallas TPU backward.
+
+The forward is cheap in XLA (layout-aware reshape+max, see
+models/unet3d.py:max_pool_cf and the reference's MaxPool3d,
+models/unet.py:44-47 of fransiskusbudi/multimodal_segmentation_project).
+The AUTODIFF backward of that chain, however, materializes
+T(2,128)-tiled broadcast/reshape monsters — profiled ~4.5 ms/step at
+the 192^3 level alone (broadcasts of the pooled tensors back to
+(d/2, 2, h/2, 2, w) window space).
+
+This module keeps the XLA forward and supplies a custom VJP whose
+backward is a single Pallas pass in the compact channel-first layout:
+
+  dx[v] = g[v/2] * (x[v] == y[v/2]) / count(v/2)
+
+(equal gradient shares among all window elements equal to the window
+max — the same convention JAX's reduce-max autodiff uses; it differs
+from the two-stage reshape+maximum chain only at exact float ties
+ACROSS pooling stages, a measure-zero event masked downstream by the
+ReLU backward, and from torch's first-match rule likewise — divergence
+documented at max_pool_cf).
+
+TPU tricks (each avoids an unsupported/expensive lane operation):
+  * g and y are W-duplicated by the CALLER with one cheap jnp.repeat
+    on the pooled (1/8-size) tensors, so the kernel never expands
+    lanes;
+  * D/H window duplication happens in registers via stack+reshape on
+    sublane/major dims (never touches the lane dim);
+  * the per-window equality COUNT needs a W-pair sum at every lane —
+    done as one tiny MXU dot with a constant (W, W) pairing matrix
+    P[i, j] = (i//2 == j//2), which sums lane pairs in place of an
+    (unsupported) strided lane reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pool_fwd_xla(x: jax.Array) -> jax.Array:
+    """Layout-aware 2x pool: reshape+max on D/H, stride-2 lane slices
+    on W (identical to models/unet3d.py:max_pool_cf)."""
+    b, c, d, h, w = x.shape
+    x = x[:, :, : d // 2 * 2, : h // 2 * 2, : w // 2 * 2]
+    x = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2 * 2)
+    x = jnp.max(x, axis=(3, 5))
+    return jnp.maximum(x[..., 0::2], x[..., 1::2])
+
+
+def _bwd_kernel(x_ref, yw_ref, gw_ref, dx_ref, *, c, td, th, w, wp):
+    """Per grid step: dx for a (C, 2*td, 2*th, W) input tile.
+
+    yw/gw are the pooled max / cotangent with W already duplicated
+    (yw[..., l] = y[..., l//2]); D/H duplication happens here in
+    registers. cnt (#window elements equal to the max) is computed with
+    the pairing-matrix dot described in the module docstring.
+
+    Mosaic constraints shape the layout (same playbook as
+    pallas_conv/upconv): all INPUT refs are lane-padded to ``wp``
+    (128-multiple) so the squeeze-reads and in-register stack/reshape
+    run at aligned widths; values convert to f32 immediately after
+    load; the store slices back to the raw ``w``, which bf16 stores
+    support. At the zero pad lanes x==yw==0 -> cnt=4, no div-by-zero;
+    the sliced store drops them."""
+    pair = (
+        jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 0) // 2
+        == jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 1) // 2
+    ).astype(jnp.float32)
+    for t in range(td):
+        ywt = yw_ref[0, :, t, :, :].astype(jnp.float32)  # (C, th, WP)
+        gwt = gw_ref[0, :, t, :, :].astype(jnp.float32)
+        # row-duplicate to window space: (C, th, WP) -> (C, 2*th, WP)
+        yd = jnp.stack([ywt, ywt], axis=2).reshape(c, 2 * th, wp)
+        gd = jnp.stack([gwt, gwt], axis=2).reshape(c, 2 * th, wp)
+        a0 = x_ref[0, :, 2 * t, :, :].astype(jnp.float32)
+        a1 = x_ref[0, :, 2 * t + 1, :, :].astype(jnp.float32)
+        m0 = (a0 == yd).astype(jnp.float32)
+        m1 = (a1 == yd).astype(jnp.float32)
+        # window count: sum d-pair, h-pair (reshape), then W pairs via
+        # the pairing-matrix dot (cnt lands duplicated at every lane)
+        s = (m0 + m1).reshape(c, th, 2, wp)
+        s = s[:, :, 0, :] + s[:, :, 1, :]  # (C, th, WP)
+        cnt = jax.lax.dot_general(
+            s.reshape(c * th, wp), pair,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(c, th, wp)
+        cd = jnp.stack([cnt, cnt], axis=2).reshape(c, 2 * th, wp)
+        scale = gd / cd
+        dx_ref[0, :, 2 * t, :, :] = (m0 * scale)[:, :, :w].astype(dx_ref.dtype)
+        dx_ref[0, :, 2 * t + 1, :, :] = (m1 * scale)[:, :, :w].astype(
+            dx_ref.dtype
+        )
+
+
+def _bwd_tiles(c: int, d: int, h: int, w: int):
+    """(td, th) when the Pallas backward supports the shape, else None.
+
+    W must be lane-friendly (mult of 8, and big enough that the kernel
+    beats XLA's broadcast chain); D/H must split into 2x windows."""
+    if w % 8 != 0 or w < 48 or w > 512 or d % 2 or h % 2:
+        return None
+    td = 2 if (d // 2) % 2 == 0 else 1
+    th = next((t for t in (8, 4, 2) if (h // 2) % t == 0), None)
+    if th is None:
+        return None
+    # VMEM: x + dx tiles are the big ones: 2 * C*2td*2th*WP * 2B
+    wp = -(-w // 128) * 128
+    if c * (2 * td) * (2 * th) * wp * 2 * 2 > 8 * 2**20:
+        return None
+    return td, th
+
+
+def _pool_bwd_pallas(x, y, g, td, th):
+    b, c, d, h, w = x.shape
+    wp = -(-w // 128) * 128  # inputs lane-padded to the tile multiple
+    xp = jnp.pad(x, ((0, 0),) * 4 + ((0, wp - w),))
+    yw = jnp.repeat(y, 2, axis=-1)  # (B, C, d/2, h/2, W): W-duplicated
+    gw = jnp.repeat(g, 2, axis=-1)
+    yw = jnp.pad(yw, ((0, 0),) * 4 + ((0, wp - w),))
+    gw = jnp.pad(gw, ((0, 0),) * 4 + ((0, wp - w),))
+    kernel = partial(_bwd_kernel, c=c, td=td, th=th, w=w, wp=wp)
+    half = pl.BlockSpec(
+        (1, c, td, th, wp), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full_p = pl.BlockSpec(
+        (1, c, 2 * td, 2 * th, wp), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(
+        (1, c, 2 * td, 2 * th, w), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, d // (2 * td), h // (2 * th)),
+        in_specs=[full_p, half, half],
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, yw, gw)
+
+
+@jax.custom_vjp
+def max_pool2x_cf(x: jax.Array) -> jax.Array:
+    """2x stride-2 max pool on (B, C, D, H, W) with the Pallas backward
+    (where supported — even extents, W >= 48; XLA autodiff otherwise)."""
+    return _pool_fwd_xla(x)
+
+
+def _pool_fwd_rule(x):
+    y = _pool_fwd_xla(x)
+    return y, (x, y)
+
+
+def _pool_bwd_rule(res, g):
+    x, y = res
+    tiles = _bwd_tiles(x.shape[1], x.shape[2], x.shape[3], x.shape[4])
+    if tiles is not None:
+        return (_pool_bwd_pallas(x, y, g, *tiles),)
+    # fallback: the same equal-shares formula in plain XLA (upsample by
+    # repeat; only used for shapes the kernel gates out)
+    up = lambda t: jnp.repeat(
+        jnp.repeat(jnp.repeat(t, 2, axis=2), 2, axis=3), 2, axis=4
+    )
+    yd, gd = up(y), up(g.astype(jnp.float32))
+    xx = x[:, :, : yd.shape[2], : yd.shape[3], : yd.shape[4]]
+    mask = (xx == yd).astype(jnp.float32)
+    b, c, d2, h2, w2 = mask.shape
+    cnt = mask.reshape(b, c, d2 // 2, 2, h2 // 2, 2, w2 // 2, 2).sum(
+        axis=(3, 5, 7), keepdims=True
+    )
+    cnt = jnp.broadcast_to(
+        cnt, (b, c, d2 // 2, 2, h2 // 2, 2, w2 // 2, 2)
+    ).reshape(mask.shape)
+    dx = (mask * gd / cnt).astype(x.dtype)
+    pad = [(0, 0), (0, 0)] + [
+        (0, x.shape[i] - dx.shape[i]) for i in (2, 3, 4)
+    ]
+    return (jnp.pad(dx, pad),)
+
+
+max_pool2x_cf.defvjp(_pool_fwd_rule, _pool_bwd_rule)

@@ -66,24 +66,34 @@ def _slice8(ct: jax.Array) -> jax.Array:
     return jnp.concatenate([t[3] for t in parts], axis=1)
 
 
-def _d2s_kernel(x_ref, w_ref, b_ref, out_ref, *, ci, co, td, th, w, wp):
-    """Per tile: one (8*Cout, Cin) @ (Cin, TH*WP) dot, then write the
-    depth-to-space phases directly: the W pair (2w, 2w+1) is packed into
-    one uint32 lane (the caller bitcasts the u32 output to bf16, a free
-    reinterpretation of the same bytes), the H phases go out as stride-2
-    sublane stores (32-bit strided stores are supported; bf16 ones are
-    not), and the D phases are plain indices."""
+def _d2s_kernel(x_ref, w_ref, b_ref, out_ref, *, ci, co, td, th, w2, wp):
+    """Per tile: one (8*Cout, Cin) @ (Cin, TH*WP) dot over the
+    W-DUPLICATED input (xd[..., l] = x[..., l//2], built by the caller
+    with one cheap jnp.repeat on the small pre-upsample tensor), then
+    write FINAL bf16 depth-to-space output directly:
+
+      * W phases: because the input lanes are duplicated, phase q's dot
+        already holds its value at every lane — the interleaved row is
+        one parity select between the q=0 and q=1 results (the previous
+        u32 lane-packing + host-side bitcast/reshape cost ~5.5 ms/step
+        of XLA relayout copies at the full-res level);
+      * H phases: stacked along a fresh axis and merged into the
+        sublane dim in registers ((co, th, 2, W) -> (co, 2*th, W) never
+        touches the lane dim, so Mosaic allows the reshape) — one
+        contiguous store per (t, a), no strided sublane stores;
+      * D phases: plain output plane indices."""
+    parity = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1) % 2
     for t in range(td):
         xt = x_ref[0, :, t, :, :].reshape(ci, th * wp)
         y = jnp.dot(w_ref[:], xt, preferred_element_type=jnp.float32)
         y = y.reshape(2, 2, 2, co, th, wp) + b_ref[:].reshape(1, 1, 1, co, 1, 1)
         for a in range(2):
+            rows = []
             for p in range(2):
-                z0 = y[a, p, 0].astype(jnp.bfloat16)[:, :, :w]
-                z1 = y[a, p, 1].astype(jnp.bfloat16)[:, :, :w]
-                u0 = pltpu.bitcast(z0, jnp.uint16).astype(jnp.uint32)
-                u1 = pltpu.bitcast(z1, jnp.uint16).astype(jnp.uint32)
-                out_ref[0, :, 2 * t + a, p::2, :] = u0 | (u1 << 16)
+                zi = jnp.where(parity == 0, y[a, p, 0], y[a, p, 1])
+                rows.append(zi.astype(out_ref.dtype))
+            z = jnp.stack(rows, axis=2)  # (co, th, 2, wp)
+            out_ref[0, :, 2 * t + a, :, :] = z.reshape(co, 2 * th, wp)[:, :, :w2]
 
 
 def _d2s_tiles(d: int, h: int, w: int):
@@ -101,11 +111,16 @@ def _d2s_tiles(d: int, h: int, w: int):
 def _upconv_forward_d2s(x, kernel, bias, td, th):
     b, cin, d, h, w = x.shape
     cout = kernel.shape[4]
-    wp = 128
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w)))
+    w2 = 2 * w
+    wp = -(-w2 // 128) * 128  # lane-align the DUPLICATED width
+    # duplicate every W lane (xd[..., l] = x[..., l // 2]): one small
+    # XLA relayout on the pre-upsample tensor; the kernel's phase dots
+    # then land their values at the final interleaved lanes directly
+    xd = jnp.repeat(x, 2, axis=-1)
+    xd = jnp.pad(xd, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w2)))
     k2 = _pack_kernel(kernel, x.dtype)
-    out_u32 = pl.pallas_call(
-        partial(_d2s_kernel, ci=cin, co=cout, td=td, th=th, w=w, wp=wp),
+    return pl.pallas_call(
+        partial(_d2s_kernel, ci=cin, co=cout, td=td, th=th, w2=w2, wp=wp),
         grid=(b, d // td, h // th),
         in_specs=[
             pl.BlockSpec(
@@ -117,18 +132,16 @@ def _upconv_forward_d2s(x, kernel, bias, td, th):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cout, 2 * td, 2 * th, w),
+            (1, cout, 2 * td, 2 * th, w2),
             lambda bb, dd, hh: (bb, 0, dd, hh, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, cout, 2 * d, 2 * h, w), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((b, cout, 2 * d, 2 * h, w2), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(xp, k2, bias.astype(jnp.float32).reshape(cout, 1))
-    out = jax.lax.bitcast_convert_type(out_u32, jnp.bfloat16)  # (..., w, 2)
-    return out.reshape(b, cout, 2 * d, 2 * h, 2 * w)
+    )(xd, k2, bias.astype(jnp.float32).reshape(cout, 1))
 
 
 def _upconv_forward(x, kernel, bias):
