@@ -1,0 +1,110 @@
+"""AOT-compile the spatially-sharded train step for a REAL TPU topology.
+
+Round-2 verdict item 8: all halo/shard_map evidence had only ever
+lowered to interpret-mode CPU, while Mosaic compilation of
+``pallas_call`` inside ``shard_map`` on an actual TPU backend is
+exactly the step that historically throws surprises. This test
+compiles the full n_spatial=2 train step (Pallas convs inside
+halo-exchange shard_map islands, ops/halo.py) against a v5e 2x4
+topology via ``jax.experimental.topologies`` — a compile-only libtpu
+client, so no TPU devices are needed. ``MMSEG_FORCE_MOSAIC=1`` makes
+the kernels trace for real Mosaic even though the process's default
+backend is CPU.
+
+Runs in a subprocess: the conftest pins this process to the
+8-virtual-device CPU platform, and topology compilation must configure
+JAX before any backend initialization.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+WORKER = r"""
+import os, sys
+os.environ["MMSEG_FORCE_MOSAIC"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.experimental import topologies
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+except Exception as e:
+    print("SKIP_NO_TOPOLOGY:", e)
+    sys.exit(0)
+
+from multimodal_segmentation_project_tpu.engine import (
+    create_train_state, make_optimizer, make_train_step,
+)
+from multimodal_segmentation_project_tpu.models import UNet3D
+from multimodal_segmentation_project_tpu.ops.losses import get_loss_fn
+from multimodal_segmentation_project_tpu.parallel.mesh import (
+    DATA_AXIS, SPATIAL_AXIS, make_mesh, set_active_mesh,
+)
+
+n_data, n_spatial = 4, 2
+mesh = make_mesh(n_data=n_data, n_spatial=n_spatial, devices=topo.devices)
+set_active_mesh(mesh)
+
+model = UNet3D(out_channels=4, features=(8, 16), dropout_rate=0.1,
+               dtype=jnp.bfloat16, conv_impl="pallas")
+tx = make_optimizer(weight_decay=1e-4, grad_accum_steps=1)
+state_shape = jax.eval_shape(
+    lambda: create_train_state(
+        model, jax.random.key(0),
+        jnp.zeros((1, 1, 16, 16, 16), jnp.bfloat16), tx, lr=1e-3,
+    )
+)
+repl = NamedSharding(mesh, P())
+state_abs = jax.tree.map(
+    lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl), state_shape
+)
+img = jax.ShapeDtypeStruct(
+    (n_data, 1, 16, 16, 16), jnp.bfloat16,
+    sharding=NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS)),
+)
+lbl = jax.ShapeDtypeStruct(
+    (n_data, 16, 16, 16), jnp.int32,
+    sharding=NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS)),
+)
+rng_abs = jax.eval_shape(lambda: jax.random.key(1))
+rng_abs = jax.ShapeDtypeStruct(rng_abs.shape, rng_abs.dtype, sharding=repl)
+
+step = make_train_step(get_loss_fn("ce_tversky"), augment=True)
+lowered = jax.jit(step).lower(state_abs, img, lbl, rng_abs)
+hlo = lowered.as_text()
+assert "custom_call" in hlo, "expected a Mosaic custom call in the lowered HLO"
+compiled = lowered.compile()
+mem = compiled.memory_analysis()
+print("AOT_TOPOLOGY_OK temp_bytes=%d" % mem.temp_size_in_bytes)
+"""
+
+
+def test_sharded_pallas_train_step_compiles_for_v5e_topology():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=580,
+    )
+    if "SKIP_NO_TOPOLOGY" in out.stdout:
+        pytest.skip("no TPU topology/libtpu support in this environment")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "AOT_TOPOLOGY_OK" in out.stdout, out.stdout + out.stderr
