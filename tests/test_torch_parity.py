@@ -310,3 +310,136 @@ def test_train_mode_bn_matches_torch_batch_stats():
     )
     scale = np.abs(want).max() + 1e-6
     np.testing.assert_allclose(np.asarray(got) / scale, want / scale, atol=5e-5)
+
+
+def _torch_ce_tversky(pred, target_idx, alpha=0.5, beta=0.5):
+    """Reference combined_ce_tversky_loss, functionally
+    (utils/metrics.py:137-167: softmax tversky over foreground classes,
+    eps 1e-6, mixed 0.3*CE + 0.7*tversky; drivers pass alpha=beta=0.5,
+    train_unet.py:202)."""
+    ce = F.cross_entropy(pred, target_idx)
+    p = torch.softmax(pred, dim=1)
+    tl = 0.0
+    for c in range(1, p.size(1)):
+        pm = p[:, c]
+        tm = (target_idx == c).float()
+        tp = (pm * tm).sum()
+        fp = (pm * (1 - tm)).sum()
+        fn = ((1 - pm) * tm).sum()
+        tl = tl + (1 - (tp + 1e-6) / (tp + alpha * fp + beta * fn + 1e-6))
+    tl = tl / (p.size(1) - 1)
+    return 0.3 * ce + 0.7 * tl
+
+
+def test_training_convergence_production_recipe_parity_with_torch():
+    """Round-2 verdict item 4: convergence parity under the PRODUCTION
+    recipe — AdamW(lr 1e-3, wd 1e-4) + ce_tversky(alpha=beta=0.5)
+    (run_training.sh:26,31,77) on 16^3 fixtures, through this
+    framework's REAL train step (make_train_step + TrainState), not a
+    hand-rolled SGD loop. Final train-set Dice within +-0.01 of torch."""
+    from multimodal_segmentation_project_tpu.engine import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from multimodal_segmentation_project_tpu.ops.losses import get_loss_fn
+    from multimodal_segmentation_project_tpu.ops.metrics import calculate_dice
+
+    base_sd = reference_shaped_state_dict(features=FEATURES, seed=41)
+    base_sd = {k: (v * 0.3 if v.ndim == 5 else v) for k, v in base_sd.items()}
+    images, labels = _blob_batch(n=2, size=16, seed=7)
+    # at the production lr the fixture's dice stays flat until ~step
+    # 200 and reaches ~0.32 by 250 (probed on the torch side)
+    lr, wd, steps = 1e-3, 1e-4, 250
+
+    # ---- torch: functional reference net + torch.optim.AdamW ----
+    sd = _torch_trainables(base_sd)
+    opt = torch.optim.AdamW(
+        [v for v in sd.values() if v.requires_grad], lr=lr, weight_decay=wd
+    )
+    for _ in range(steps):
+        opt.zero_grad()
+        out = torch_reference_forward(sd, torch.from_numpy(images), training=True)
+        loss = _torch_ce_tversky(out, torch.from_numpy(labels))
+        loss.backward()
+        opt.step()
+    with torch.no_grad():
+        final_t = torch_reference_forward(sd, torch.from_numpy(images), training=False)
+    dice_torch = float(
+        calculate_dice(jnp.asarray(final_t.numpy()), jnp.asarray(labels.astype(np.int32)))
+    )
+
+    # ---- this framework: the production train step ----
+    params, stats = torch_state_dict_to_trees(base_sd, num_levels=len(FEATURES))
+    model = UNet3D(
+        out_channels=4, features=FEATURES, dropout_rate=0.0, dtype=jnp.float32
+    )
+    tx = make_optimizer(weight_decay=wd, grad_accum_steps=1)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.asarray(images[:1]), tx, lr
+    )
+    state = state.replace(params=params, batch_stats=stats)
+    step = make_train_step(get_loss_fn("ce_tversky"), augment=False)
+    x = jnp.asarray(images)
+    y = jnp.asarray(labels.astype(np.int32))
+    for i in range(steps):
+        state, metrics = step(state, x, y, jax.random.key(i))
+    final_j = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
+    )
+    dice_jax = float(calculate_dice(final_j, y))
+
+    assert dice_jax > 0.25, f"training failed to converge (dice={dice_jax})"
+    assert abs(dice_jax - dice_torch) <= 0.01, (dice_jax, dice_torch)
+
+
+def test_per_organ_eval_path_parity_with_torch():
+    """Round-2 verdict item 4: per-organ Dice/IoU through the EVAL path
+    (argmax -> per-class overlap, eps 1e-5, absent organ scored 0.0)
+    matches a torch-functional replica of the reference's evaluator
+    (test_model.py:255-285) on the same imported weights."""
+    from multimodal_segmentation_project_tpu.ops.metrics import (
+        per_class_dice_iou_per_sample,
+    )
+
+    sd = reference_shaped_state_dict(features=FEATURES, seed=51)
+    sd = {k: (v * 0.3 if v.ndim == 5 else v) for k, v in sd.items()}
+    images, labels = _blob_batch(n=2, size=16, seed=9)
+    labels[1][labels[1] == 2] = 0  # one volume with an ABSENT organ
+
+    # ---- torch eval path (reference loop, one volume at a time) ----
+    want = np.zeros((2, 3, 2), np.float64)  # (sample, organ, dice|iou)
+    with torch.no_grad():
+        out = torch_reference_forward(sd, torch.from_numpy(images), training=False)
+    pred_t = torch.argmax(out, dim=1)
+    for j in range(2):
+        lbl = torch.from_numpy(labels[j])
+        for oi, class_idx in enumerate((1, 2, 3)):
+            pm = pred_t[j] == class_idx
+            lm = lbl == class_idx
+            if lm.sum() > 0:
+                inter = (pm & lm).sum().float()
+                union = pm.sum() + lm.sum()
+                want[j, oi, 0] = float((2.0 * inter + 1e-5) / (union + 1e-5))
+                want[j, oi, 1] = float(
+                    (inter + 1e-5) / (pm.sum() + lm.sum() - inter + 1e-5)
+                )
+
+    # ---- this framework's eval path ----
+    params, stats = torch_state_dict_to_trees(sd, num_levels=len(FEATURES))
+    model = UNet3D(
+        out_channels=4, features=FEATURES, dropout_rate=0.0, dtype=jnp.float32
+    )
+    logits = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(images), train=False
+    )
+    pred_j = jnp.argmax(logits, axis=1)
+    # both stacks must agree on the hard prediction itself first
+    np.testing.assert_array_equal(np.asarray(pred_j), pred_t.numpy())
+    organ = per_class_dice_iou_per_sample(
+        pred_j, jnp.asarray(labels.astype(np.int32)), num_classes=4
+    )
+    np.testing.assert_allclose(np.asarray(organ["dice"]), want[:, :, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(organ["iou"]), want[:, :, 1], atol=1e-5)
+    assert not bool(organ["present"][1, 1])  # absent organ detected
+    assert float(organ["dice"][1, 1]) == 0.0  # and scored 0.0
