@@ -238,6 +238,65 @@ def main() -> None:
     except Exception as e:
         details["batch2_error"] = str(e)[:200]
 
+    # ---- train end-to-end: gzipped .nii.gz on disk -> DataLoader
+    # (threaded native decode + preprocessing) -> host->device transfer
+    # -> jitted train step. The reference's bottleneck story includes
+    # host decode (train_unet.py:372-374, 2 nibabel workers); this
+    # measures the whole pipeline, not just the resident-data step. ----
+    try:
+        import tempfile as _tf
+
+        from multimodal_segmentation_project_tpu.data.dataset import CombinedDataset
+        from multimodal_segmentation_project_tpu.data.nifti import save_nifti as _sn
+        from multimodal_segmentation_project_tpu.data.pipeline import DataLoader
+
+        n_vols = int(os.environ.get("BENCH_E2E_N", "8"))
+        with _tf.TemporaryDirectory() as tmp:
+            img_dir = os.path.join(tmp, "synth_ct", "images")
+            lbl_dir = os.path.join(tmp, "synth_ct", "labels")
+            os.makedirs(img_dir)
+            os.makedirs(lbl_dir)
+            for i in range(n_vols):
+                lbl = rng.integers(0, 4, size=(SIZE, SIZE, SIZE)).astype(np.int16)
+                img = lbl * 100.0 + rng.normal(0, 30, lbl.shape)
+                _sn(img.astype(np.float32), os.path.join(img_dir, f"c{i}.nii.gz"))
+                _sn(lbl, os.path.join(lbl_dir, f"c{i}.nii.gz"))
+            ds = CombinedDataset(tmp, verbose=False)
+            loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2)
+            # one warm epoch primes OS page cache the way a second real
+            # epoch runs; step is already compiled (same shapes as above)
+            e2e_state = state
+            # one-batch lookahead: device_put is async, so uploading
+            # batch i+1 while step(i) executes overlaps the relay/PCIe
+            # transfer with device compute
+            for warm, tag in ((True, None), (False, "timed")):
+                pending = None
+                t0 = time.time()
+                n = 0
+                for images, labels in loader:
+                    nxt = (jnp.asarray(images), jnp.asarray(labels))
+                    if pending is not None:
+                        e2e_state, m_e = step(
+                            e2e_state, *pending, jax.random.key(500 + n)
+                        )
+                        n += 1
+                    pending = nxt
+                e2e_state, m_e = step(e2e_state, *pending, jax.random.key(599))
+                n += 1
+                float(m_e["loss"])
+                if tag:
+                    e2e_sps = n / (time.time() - t0)
+        details["train_end_to_end_samples_per_sec"] = round(e2e_sps, 4)
+        details["train_end_to_end_note"] = (
+            "full pipeline: gzip .nii.gz decode (native C++ loader, 2 "
+            "threads) + CT windowing + host->device upload + train step; "
+            "on this relay-tunneled environment the 28 MB/volume upload "
+            "rides the tunnel and dominates any gap vs the resident-data "
+            "step (see eval_end_to_end note in docs/PERFORMANCE.md)"
+        )
+    except Exception as e:  # never let the secondary metric kill the bench
+        details["train_end_to_end_error"] = str(e)[:200]
+
     with open(
         os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w"
     ) as f:
