@@ -85,11 +85,17 @@ class PallasConv3(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, fold_scale=None, fold_shift=None, return_stats=False
+        self,
+        x: jax.Array,
+        fold_scale=None,
+        fold_shift=None,
+        return_stats=False,
+        prologue=None,
     ):
         from multimodal_segmentation_project_tpu.ops.halo import halo_conv3
         from multimodal_segmentation_project_tpu.ops.pallas_conv import (
             conv3x3x3_cf,
+            conv3x3x3_cf_boundary,
             conv3x3x3_cf_reference,
             conv3x3x3_cf_stats,
         )
@@ -108,6 +114,14 @@ class PallasConv3(nn.Module):
         if fold_scale is not None:
             kernel = kernel * fold_scale.reshape(1, 1, 1, 1, -1)
             bias = bias * fold_scale + fold_shift
+        if prologue is not None:
+            # fused training-mode boundary: the preceding conv's
+            # BN-apply + ReLU + Dropout3d (a per-(batch, channel)
+            # affine) runs on this conv's input tile in VMEM — the
+            # activated intermediate never touches HBM. Single-device
+            # Pallas path only (DoubleConv gates it).
+            a, t = prologue
+            return conv3x3x3_cf_boundary(x.astype(self.dtype), kernel, bias, a, t)
         if return_stats:
             # fused conv + per-channel output stats (single-device path;
             # DoubleConv gates this off under an active mesh)
@@ -149,7 +163,9 @@ class BatchNormCF(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, y: jax.Array, s1: jax.Array, s2: jax.Array) -> jax.Array:
+    def __call__(
+        self, y: jax.Array, s1: jax.Array, s2: jax.Array, return_affine: bool = False
+    ):
         c = y.shape[1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
@@ -167,6 +183,10 @@ class BatchNormCF(nn.Module):
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         a = scale * jax.lax.rsqrt(var + self.epsilon)
         b = bias - mean * a
+        if return_affine:
+            # (a, b) per channel, fp32 — consumed by the fused boundary
+            # conv's prologue instead of a volume-sized apply pass
+            return a, b
         return y.astype(jnp.float32) * a.reshape(1, -1, 1, 1, 1) + b.reshape(
             1, -1, 1, 1, 1
         )
@@ -210,6 +230,65 @@ class DoubleConv(nn.Module):
     conv_impl: str = "auto"
     fused_bn_stats: bool = False
 
+    def _fused_boundary_path(self, x, train, spatial):
+        """Training-mode fused DoubleConv (opt-in: MMSEG_FUSE_BOUNDARY=1).
+
+        conv0 emits (y0, s1, s2) in one kernel pass; BN0 reduces to a
+        per-channel affine (a, t); the Dropout3d channel mask folds into
+        (a, t); conv1 applies the whole chain to its input tile in VMEM
+        (conv3x3x3_cf_boundary) — the activated intermediate between the
+        convs never exists in HBM. Parameter/variable tree is identical
+        to the unfused path, so checkpoints interchange. Single-device
+        Pallas-supported shapes in training mode only; returns None to
+        fall through otherwise."""
+        import os as _os
+
+        if _os.environ.get("MMSEG_FUSE_BOUNDARY", "") != "1":
+            return None
+        if not train or spatial:
+            return None
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_mesh_devices,
+        )
+
+        if active_mesh_devices() != 1:
+            return None
+        if not _pallas_shape_ok(
+            self.conv_impl, self.features, x.shape[1], x.shape[3], x.shape[4]
+        ):
+            return None
+
+        x = x.astype(self.dtype)
+        bdim, feats = x.shape[0], self.features
+        y0, s10, s20 = PallasConv3(feats, self.dtype, name="conv0")(
+            x, return_stats=True
+        )
+        a0, t0 = BatchNormCF(name="bn0")(y0, s10, s20, return_affine=True)
+        a_bc = jnp.broadcast_to(a0[None, :], (bdim, feats))
+        t_bc = jnp.broadcast_to(t0[None, :], (bdim, feats))
+        keep = 1.0 - self.dropout_rate
+        if self.dropout_rate > 0.0:
+            m0 = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (bdim, feats)
+            ).astype(jnp.float32) / keep
+            a_bc, t_bc = a_bc * m0, t_bc * m0
+        y1 = PallasConv3(feats, self.dtype, name="conv1")(
+            y0, prologue=(a_bc, t_bc)
+        )
+        y1f = y1.astype(jnp.float32)
+        s11 = jnp.sum(y1f, axis=(0, 2, 3, 4))
+        s21 = jnp.sum(y1f * y1f, axis=(0, 2, 3, 4))
+        a1, t1 = BatchNormCF(name="bn1")(y1, s11, s21, return_affine=True)
+        z = jnp.maximum(
+            y1f * a1.reshape(1, -1, 1, 1, 1) + t1.reshape(1, -1, 1, 1, 1), 0.0
+        )
+        if self.dropout_rate > 0.0:
+            m1 = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (bdim, feats)
+            ).astype(jnp.float32) / keep
+            z = z * m1[:, :, None, None, None]
+        return z.astype(self.dtype)
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         from multimodal_segmentation_project_tpu.parallel.mesh import (
@@ -221,6 +300,10 @@ class DoubleConv(nn.Module):
         # shard_map island (ops/halo.py): pallas kernel where supported,
         # channel-first XLA conv otherwise
         spatial = active_spatial_mesh() is not None
+
+        fused = self._fused_boundary_path(x, train, spatial)
+        if fused is not None:
+            return fused
         for i in range(2):
             use_pallas = _pallas_conv_ok(
                 self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]

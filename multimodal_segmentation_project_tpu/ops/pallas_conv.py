@@ -79,6 +79,33 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kw_stacked() -> bool:
+    """Stack the three kw dots into one M=3*Cout dot (MMSEG_KW_STACK=1).
+
+    All three kw-split dots share the same im2col panel operand, so one
+    dot with the weight matrices stacked on M computes the identical
+    three result blocks. When 3*Cout <= 128 this fills 3x more MXU rows
+    per pass; measured A/B on real TPU decides the default."""
+    return os.environ.get("MMSEG_KW_STACK", "") == "1"
+
+
+def _kw_dots(w_ref, p, cout: int):
+    """Three (Cout, N) fp32 results w_kw @ p, kw in {0,1,2}.
+
+    ``w_ref`` holds the packed (3, Cout, 9*Cin) weights; the stacked
+    variant collapses the leading dims (legal in Mosaic — not a lane
+    reshape) and slices the row blocks of a single dot."""
+    if _kw_stacked():
+        w2 = w_ref[:].reshape(3 * cout, w_ref.shape[2])
+        accs = jnp.dot(w2, p, preferred_element_type=jnp.float32)
+        return accs[:cout], accs[cout : 2 * cout], accs[2 * cout :]
+    return (
+        jnp.dot(w_ref[0], p, preferred_element_type=jnp.float32),
+        jnp.dot(w_ref[1], p, preferred_element_type=jnp.float32),
+        jnp.dot(w_ref[2], p, preferred_element_type=jnp.float32),
+    )
+
+
 def _pick_tile_d(d: int, cin: int) -> int:
     """Depth tile: computing TD output planes per grid step reuses the
     loaded halo planes (each input plane is read (TD+2)/TD times instead
@@ -216,13 +243,10 @@ def _fwd_kernel(
     n = th * wp
     for t in range(td):
         _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
-        p = panel[:]
         # kw-split: three dots + two result rolls (see module docstring).
         # rollL(W @ A, kw) == W @ rollL(A, kw); wrap garbage stays in
         # columns >= WP-2 of each row, which are never stored.
-        acc = jnp.dot(w_ref[0], p, preferred_element_type=jnp.float32)
-        acc1 = jnp.dot(w_ref[1], p, preferred_element_type=jnp.float32)
-        acc2 = jnp.dot(w_ref[2], p, preferred_element_type=jnp.float32)
+        acc, acc1, acc2 = _kw_dots(w_ref, panel[:], cout)
         acc = (
             acc
             + pltpu.roll(acc1, n - 1, axis=1)
@@ -247,10 +271,7 @@ def _fwd_stats_kernel(
     n = th * wp
     for t in range(td):
         _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
-        p = panel[:]
-        acc = jnp.dot(w_ref[0], p, preferred_element_type=jnp.float32)
-        acc1 = jnp.dot(w_ref[1], p, preferred_element_type=jnp.float32)
-        acc2 = jnp.dot(w_ref[2], p, preferred_element_type=jnp.float32)
+        acc, acc1, acc2 = _kw_dots(w_ref, panel[:], cout)
         acc = (
             acc
             + pltpu.roll(acc1, n - 1, axis=1)
@@ -390,6 +411,97 @@ def _dw_kernel(
             dw_ref[:] = dw_ref[:] + pdw
 
 
+def _dw_shared() -> bool:
+    """Read the cotangent from the SAME _pad_for_kernel-padded buffer
+    the dx conv consumes (MMSEG_DW_SHARED=1), instead of a second
+    W-only pad. One pad pass of g serves the whole backward; the lane
+    shift folds into the kw rolls and the plane/row halo offsets are
+    static in-kernel slices. Trades the pad pass for a 2nd haloed DMA
+    stream (~2.25x g bytes) — measured A/B on real TPU decides."""
+    return os.environ.get("MMSEG_DW_SHARED", "") == "1"
+
+
+def _dw_kernel_shared(
+    x_ref, pg_ref, dw_ref, xtile, gtile, panel, g3, dma_sem, gdma_sem, *,
+    cin, cout, td, th, wp, n_ht, n_d,
+):
+    """dw with the halo-padded cotangent: pg[l] = g[l-1], so the raw
+    kw-roll blocks [g, rollR(g,1), rollR(g,2)] become
+    [rollL(pg,1), pg, rollR(pg,1)]; rolled-in wrap columns land on pg's
+    zero halo/pad lanes and contribute exactly zero. Plane t+1 / rows
+    1..th+1 are the static halo offsets."""
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    # the same double-buffer schedule drives the cotangent stream (the
+    # helper only reads grid ids, so the slots coincide)
+    gslot = _pipelined_tile(pg_ref, gtile, gdma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        g_tile = gtile[gslot, :, t + 1, 1 : th + 1, :].reshape(cout, th * wp)
+        g32 = g_tile.astype(jnp.float32)
+        g3[pl.ds(0, cout), :] = pltpu.roll(g32, n - 1, axis=1).astype(g_tile.dtype)
+        g3[pl.ds(cout, cout), :] = g_tile
+        g3[pl.ds(2 * cout, cout), :] = pltpu.roll(g32, 1, axis=1).astype(g_tile.dtype)
+        pdw = jax.lax.dot_general(
+            panel[:], g3[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if t == 0:
+
+            @pl.when(first)
+            def _():
+                dw_ref[:] = pdw
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dw_ref[:] = dw_ref[:] + pdw
+
+        else:
+            dw_ref[:] = dw_ref[:] + pdw
+
+
+def _conv_dw_shared(xp: jax.Array, pg: jax.Array, cout: int) -> jax.Array:
+    """dW_packed from the padded forward input AND padded cotangent —
+    both straight from the backward's residuals, zero pads issued here."""
+    b, cin = xp.shape[0], xp.shape[1]
+    d, h = xp.shape[2] - 2, xp.shape[3] - 8
+    wp = xp.shape[-1]
+    td = _pick_tile_d_dw(d, cin)
+    th = _pick_tile_h(h, cin)
+    n_dt, n_ht = d // td, h // th
+    kernel = partial(
+        _dw_kernel_shared, cin=cin, cout=cout, td=td, th=th, wp=wp,
+        n_ht=n_ht, n_d=n_dt,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_dt, n_ht),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (9 * cin, 3 * cout), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), xp.dtype),
+            pltpu.VMEM((2, cout, td + 2, th + 8, wp), pg.dtype),
+            pltpu.VMEM((9 * cin, th * wp), xp.dtype),
+            pltpu.VMEM((3 * cout, th * wp), pg.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xp, pg)
+
+
 def _conv_dw(xp: jax.Array, g: jax.Array) -> jax.Array:
     """Accumulate dW_packed (9*Cin, 3*Cout) over the whole volume
     (rows (kd,kh,ci), cols (kw,co); see unpack_weight_grads).
@@ -470,8 +582,15 @@ def _conv_bwd_rule(res, g):
     # dx: conv of g with spatially-flipped, in/out-swapped weights
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))  # (3,3,3,Cout,Cin)
-    dx = _conv_apply(g, pack_weights(w_t).astype(g.dtype), cin)
-    dw_packed = _conv_dw(xp, g)
+    wt_packed = pack_weights(w_t).astype(g.dtype)
+    if _dw_shared():
+        # ONE halo pad of g feeds both the dx conv and the dw kernel
+        pg = _pad_for_kernel(g)
+        dx = _conv_apply_padded(pg, wt_packed, cin, g.shape[-1])
+        dw_packed = _conv_dw_shared(xp, pg, cout)
+    else:
+        dx = _conv_apply(g, wt_packed, cin)
+        dw_packed = _conv_dw(xp, g)
     dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
     return dx, dw, db
@@ -524,13 +643,254 @@ def _conv_stats_bwd_rule(res, cts):
     ).astype(g.dtype)
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
-    dx = _conv_apply(g_eff, pack_weights(w_t).astype(g.dtype), cin)
-    dw = unpack_weight_grads(_conv_dw(xp, g_eff), cin, cout).astype(w.dtype)
+    wt_packed = pack_weights(w_t).astype(g.dtype)
+    if _dw_shared():
+        pg = _pad_for_kernel(g_eff)
+        dx = _conv_apply_padded(pg, wt_packed, cin, g_eff.shape[-1])
+        dw = unpack_weight_grads(_conv_dw_shared(xp, pg, cout), cin, cout)
+        dw = dw.astype(w.dtype)
+    else:
+        dx = _conv_apply(g_eff, wt_packed, cin)
+        dw = unpack_weight_grads(_conv_dw(xp, g_eff), cin, cout).astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
     return dx, dw, db
 
 
 conv3x3x3_cf_stats.defvjp(_conv_stats_fwd_rule, _conv_stats_bwd_rule)
+
+
+# ---- fused boundary op: conv(relu(x*a + t)) + bias -------------------
+#
+# The BN-apply + ReLU + Dropout3d chain between two convs is a
+# per-(batch, channel) affine followed by relu (the dropout channel
+# mask folds into (a, t) since mask >= 0:
+# relu(x*a + t) * m == relu(x*(a*m) + t*(m))). The consumer conv applies
+# it to its DMA'd tile in VMEM, so the intermediate activation never
+# exists in HBM (reference chain: models/unet.py:11-22 Conv3d->BN->
+# ReLU->Dropout3d). The input here is the RAW producer output padded by
+# _pad_for_kernel, so the transform must keep the SAME-halo zeros zero:
+# relu(0*a + t) = relu(t) != 0 — halo positions are masked with iota
+# index math against the tile's global coordinates.
+
+
+def _prologue_tile(xtile, slot, a2, t2, *, cin, td, th, wp, d0, h0, D, H, W):
+    """In-place relu(x*a + t) on the DMA'd tile with halo masking.
+
+    a2/t2: (cin, 1) fp32 for this batch element. In padded coords,
+    position (dp, hp, wl) is interior iff 1 <= dp <= D, 1 <= hp <= H,
+    1 <= wl <= W."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (th + 8, wp), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (th + 8, wp), 1)
+    hp = row_i + h0
+    mask_hw = (hp >= 1) & (hp <= H) & (lane_i >= 1) & (lane_i <= W)
+    for p in range(td + 2):
+        dp = d0 + p
+        dv = (dp >= 1) & (dp <= D)
+        v = xtile[slot, :, p, :, :].astype(jnp.float32)  # (cin, th+8, wp)
+        z = jnp.maximum(v * a2[:, :, None] + t2[:, :, None], 0.0)
+        z = jnp.where((mask_hw & dv)[None, :, :], z, 0.0)
+        xtile[slot, :, p, :, :] = z.astype(xtile.dtype)
+
+
+def _fwd_prologue_kernel(
+    x_ref, w_ref, a_ref, t_ref, out_ref, xtile, panel, dma_sem, *,
+    cin, cout, td, th, w_dim, wp, n_ht, n_d, D, H,
+):
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    dt, ht = pl.program_id(1), pl.program_id(2)
+    _prologue_tile(
+        xtile, slot, a_ref[0], t_ref[0],
+        cin=cin, td=td, th=th, wp=wp,
+        d0=dt * td, h0=ht * th, D=D, H=H, W=w_dim,
+    )
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        acc, acc1, acc2 = _kw_dots(w_ref, panel[:], cout)
+        acc = (
+            acc
+            + pltpu.roll(acc1, n - 1, axis=1)
+            + pltpu.roll(acc2, n - 2, axis=1)
+        )
+        acc = acc.reshape(cout, th, wp)
+        out_ref[0, :, t, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
+
+
+def _conv_boundary_apply(xp, w_packed, a, t, cout, w_dim):
+    b, cin = xp.shape[0], xp.shape[1]
+    d, h = xp.shape[2] - 2, xp.shape[3] - 8
+    wp = xp.shape[-1]
+    td = _pick_tile_d(d, cin)
+    th = _pick_tile_h(h, cin)
+    n_dt, n_ht = d // td, h // th
+    kernel = partial(
+        _fwd_prologue_kernel, cin=cin, cout=cout, td=td, th=th,
+        w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=n_dt, D=d, H=h,
+    )
+    a3 = a.astype(jnp.float32).reshape(b, cin, 1)
+    t3 = t.astype(jnp.float32).reshape(b, cin, 1)
+    scalar_spec = pl.BlockSpec(
+        (1, cin, 1), lambda bb, dd, hh: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_dt, n_ht),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            scalar_spec,
+            scalar_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, td, th, w_dim),
+            lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout, d, h, w_dim), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), xp.dtype),
+            pltpu.VMEM((9 * cin, th * wp), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xp, w_packed, a3, t3)
+
+
+def _dw_kernel_prologue(
+    x_ref, pg_ref, a_ref, t_ref, dw_ref, xtile, gtile, panel, g3,
+    dma_sem, gdma_sem, *, cin, cout, td, th, wp, n_ht, n_d, D, H, W,
+):
+    """dw through the transformed input: the same prologue runs on the
+    x tile before panel assembly; g is read from the shared halo-padded
+    buffer (see _dw_kernel_shared)."""
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    gslot = _pipelined_tile(pg_ref, gtile, gdma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    dt, ht = pl.program_id(1), pl.program_id(2)
+    _prologue_tile(
+        xtile, slot, a_ref[0], t_ref[0],
+        cin=cin, td=td, th=th, wp=wp,
+        d0=dt * td, h0=ht * th, D=D, H=H, W=W,
+    )
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        g_tile = gtile[gslot, :, t + 1, 1 : th + 1, :].reshape(cout, th * wp)
+        g32 = g_tile.astype(jnp.float32)
+        g3[pl.ds(0, cout), :] = pltpu.roll(g32, n - 1, axis=1).astype(g_tile.dtype)
+        g3[pl.ds(cout, cout), :] = g_tile
+        g3[pl.ds(2 * cout, cout), :] = pltpu.roll(g32, 1, axis=1).astype(g_tile.dtype)
+        pdw = jax.lax.dot_general(
+            panel[:], g3[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if t == 0:
+
+            @pl.when(first)
+            def _():
+                dw_ref[:] = pdw
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dw_ref[:] = dw_ref[:] + pdw
+
+        else:
+            dw_ref[:] = dw_ref[:] + pdw
+
+
+def _conv_dw_prologue(xp, pg, a, t, cout, w_dim):
+    b, cin = xp.shape[0], xp.shape[1]
+    d, h = xp.shape[2] - 2, xp.shape[3] - 8
+    wp = xp.shape[-1]
+    td = _pick_tile_d_dw(d, cin)
+    th = _pick_tile_h(h, cin)
+    n_dt, n_ht = d // td, h // th
+    kernel = partial(
+        _dw_kernel_prologue, cin=cin, cout=cout, td=td, th=th, wp=wp,
+        n_ht=n_ht, n_d=n_dt, D=d, H=h, W=w_dim,
+    )
+    a3 = a.astype(jnp.float32).reshape(b, cin, 1)
+    t3 = t.astype(jnp.float32).reshape(b, cin, 1)
+    scalar_spec = pl.BlockSpec(
+        (1, cin, 1), lambda bb, dd, hh: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_dt, n_ht),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            scalar_spec,
+            scalar_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (9 * cin, 3 * cout), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), xp.dtype),
+            pltpu.VMEM((2, cout, td + 2, th + 8, wp), pg.dtype),
+            pltpu.VMEM((9 * cin, th * wp), xp.dtype),
+            pltpu.VMEM((3 * cout, th * wp), pg.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xp, pg, a3, t3)
+
+
+@jax.custom_vjp
+def conv3x3x3_cf_boundary(
+    x: jax.Array, w: jax.Array, b: jax.Array, a: jax.Array, t: jax.Array
+) -> jax.Array:
+    """SAME 3x3x3 conv of relu(x*a + t), channel-first, Pallas TPU kernel.
+
+    (a, t): (B, Cin) fp32 per-(batch, channel) affine — the training-mode
+    BN-apply + ReLU + Dropout3d chain of the preceding conv, applied to
+    the input tile in VMEM so the activated intermediate never touches
+    HBM. w: (3,3,3,Cin,Cout); b: (Cout,)."""
+    cout = w.shape[4]
+    xp = _pad_for_kernel(x)
+    w_packed = pack_weights(w).astype(x.dtype)
+    out = _conv_boundary_apply(xp, w_packed, a, t, cout, x.shape[-1])
+    return out + b.astype(out.dtype).reshape(1, -1, 1, 1, 1)
+
+
+def _boundary_fwd_rule(x, w, b, a, t):
+    return conv3x3x3_cf_boundary(x, w, b, a, t), (x, w, a, t)
+
+
+def _boundary_bwd_rule(res, g):
+    x, w, a, t = res
+    cin, cout = w.shape[3], w.shape[4]
+    pg = _pad_for_kernel(g)
+    # dr: conv of g with flipped/transposed weights (grad wrt relu(x*a+t))
+    w_flip = w[::-1, ::-1, ::-1, :, :]
+    w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
+    dr = _conv_apply_padded(pg, pack_weights(w_t).astype(g.dtype), cin, g.shape[-1])
+    # fused XLA tail: mask recompute + dx/da/dt (one pass over dr and x)
+    xf = x.astype(jnp.float32)
+    af = a.astype(jnp.float32)[:, :, None, None, None]
+    tf = t.astype(jnp.float32)[:, :, None, None, None]
+    du = jnp.where((xf * af + tf) > 0, dr.astype(jnp.float32), 0.0)
+    dx = (du * af).astype(x.dtype)
+    da = jnp.sum(du * xf, axis=(2, 3, 4)).astype(a.dtype)
+    dt_ = jnp.sum(du, axis=(2, 3, 4)).astype(t.dtype)
+    xp = _pad_for_kernel(x)
+    dw_packed = _conv_dw_prologue(xp, pg, a, t, cout, g.shape[-1])
+    dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
+    return dx, dw, db, da, dt_
+
+
+conv3x3x3_cf_boundary.defvjp(_boundary_fwd_rule, _boundary_bwd_rule)
 
 
 def conv3x3x3_cf_reference(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
