@@ -223,8 +223,21 @@ int nifti_load_f32(const char* path, float* dst, int64_t dst_capacity,
     return NN_ESIZE;
   }
 
+  // element size from DATATYPE, not the header's bitpix field: decode
+  // reads sizeof(T) per voxel, so a malformed header with inconsistent
+  // bitpix must not pass the bounds check (heap overread otherwise)
+  size_t elem;
+  switch (datatype) {
+    case 2: case 256: elem = 1; break;             // u8 / i8
+    case 4: case 512: elem = 2; break;             // i16 / u16
+    case 8: case 16: elem = 4; break;              // i32 / f32
+    case 64: elem = 8; break;                      // f64
+    default:
+      if (heap) free(data);
+      return NN_EDTYPE;
+  }
   size_t offset = (size_t)(vox_offset >= 352.0f ? vox_offset : 352.0f);
-  if (offset + (size_t)n * (bitpix / 8) > data_len) {
+  if (offset > data_len || (size_t)n * elem > data_len - offset) {
     if (heap) free(data);
     return NN_EHDR;
   }

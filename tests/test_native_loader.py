@@ -65,3 +65,24 @@ def test_dataset_uses_native_path(tmp_path, rng):
     got_img, got_lbl = ds[0]
     np.testing.assert_allclose(got_img[0], preprocess_ct(img), rtol=1e-6)
     np.testing.assert_array_equal(got_lbl, lbl.astype(np.int32))
+
+
+def test_native_rejects_inconsistent_bitpix(tmp_path, rng):
+    """A header whose bitpix disagrees with datatype must be rejected,
+    not decoded with the datatype's (larger) element size — the bounds
+    check previously used bitpix while decode used sizeof(datatype),
+    allowing a heap overread on malformed files."""
+    import gzip
+    import struct
+
+    data = rng.uniform(-10, 10, size=(4, 4, 4)).astype(np.float64)
+    path = str(tmp_path / "bad.nii.gz")
+    save_nifti(data, path, np.eye(4))  # float64 -> datatype 64, bitpix 64
+    blob = bytearray(gzip.decompress(open(path, "rb").read()))
+    # truncate the payload so only bitpix=8-sized data remains, and lie
+    # about bitpix; a bitpix-based bounds check would pass
+    struct.pack_into("<h", blob, 72, 8)
+    blob = blob[: 352 + 64 * 1]
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(blob))
+    assert native.load_nifti_f32(path) is None
