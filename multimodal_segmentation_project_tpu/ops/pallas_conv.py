@@ -846,6 +846,111 @@ def _conv_dw_prologue(xp, pg, a, t, cout, w_dim):
     )(xp, pg, a3, t3)
 
 
+def _dx_epilogue_kernel(
+    pg_ref, w_ref, x_ref, a_ref, t_ref, dy_ref, acc_ref, gtile, panel,
+    dma_sem, *, cout_g, cin, td, th, w_dim, wp, n_ht, n_d,
+):
+    """dx conv + boundary epilogue: the conv of the halo-padded
+    cotangent with flipped weights yields dr (grad wrt relu(x*a+t));
+    the epilogue consumes the raw x block at the same coordinates and
+    writes dy = dr * (x*a+t > 0) * a directly, while accumulating
+    (da, dt) = (sum du*x, sum du) per (batch, channel) — dr never
+    exists in HBM."""
+    slot = _pipelined_tile(pg_ref, gtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    a2 = a_ref[0].astype(jnp.float32)  # (cin, 1)
+    t2 = t_ref[0].astype(jnp.float32)
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(gtile.at[slot], panel, cin=cout_g, th=th, wp=wp, td_off=t)
+        acc, acc1, acc2 = _kw_dots(w_ref, panel[:], cin)
+        acc = (
+            acc
+            + pltpu.roll(acc1, n - 1, axis=1)
+            + pltpu.roll(acc2, n - 2, axis=1)
+        )
+        dr = acc.reshape(cin, th, wp)[:, :, :w_dim]  # fp32
+        xt = x_ref[0, :, t, :, :].astype(jnp.float32)  # (cin, th, w_dim)
+        u_pos = xt * a2[:, :, None] + t2[:, :, None] > 0.0
+        du = jnp.where(u_pos, dr, 0.0)
+        dy_ref[0, :, t, :, :] = (du * a2[:, :, None]).astype(dy_ref.dtype)
+        s_da = jnp.sum(jnp.sum(du * xt, axis=2), axis=1, keepdims=True)
+        s_dt = jnp.sum(jnp.sum(du, axis=2), axis=1, keepdims=True)
+        s = jnp.concatenate([s_da, s_dt], axis=1)  # (cin, 2)
+        if t == 0:
+
+            @pl.when(first)
+            def _():
+                acc_ref[0] = s
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                acc_ref[0] = acc_ref[0] + s
+
+        else:
+            acc_ref[0] = acc_ref[0] + s
+
+
+def _conv_dx_epilogue(pg, wt_packed, x, a, t):
+    """dy, da, dt from the halo-padded cotangent in ONE kernel (the
+    Option-B boundary backward; MMSEG_BOUNDARY_EPILOGUE=1)."""
+    b, cin, d, h, w_dim = x.shape
+    cout_g = pg.shape[1]
+    wp = pg.shape[-1]
+    td = _pick_tile_d(d, cout_g)
+    th = _pick_tile_h(h, cout_g)
+    n_dt, n_ht = d // td, h // th
+    kernel = partial(
+        _dx_epilogue_kernel, cout_g=cout_g, cin=cin, td=td, th=th,
+        w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=n_dt,
+    )
+    a3 = a.astype(jnp.float32).reshape(b, cin, 1)
+    t3 = t.astype(jnp.float32).reshape(b, cin, 1)
+    scalar_spec = pl.BlockSpec(
+        (1, cin, 1), lambda bb, dd, hh: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    dy, acc = pl.pallas_call(
+        kernel,
+        grid=(b, n_dt, n_ht),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # pg: manual haloed DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # flipped weights
+            pl.BlockSpec(  # raw x block at output coords
+                (1, cin, td, th, w_dim),
+                lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scalar_spec,
+            scalar_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, cin, td, th, w_dim),
+                lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cin, 2), lambda bb, dd, hh: (bb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, cin, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, cout_g, td + 2, th + 8, wp), pg.dtype),
+            pltpu.VMEM((9 * cout_g, th * wp), pg.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(pg, wt_packed, x, a3, t3)
+    return dy, acc[:, :, 0], acc[:, :, 1]
+
+
 @jax.custom_vjp
 def conv3x3x3_cf_boundary(
     x: jax.Array, w: jax.Array, b: jax.Array, a: jax.Array, t: jax.Array
@@ -871,18 +976,25 @@ def _boundary_bwd_rule(res, g):
     x, w, a, t = res
     cin, cout = w.shape[3], w.shape[4]
     pg = _pad_for_kernel(g)
-    # dr: conv of g with flipped/transposed weights (grad wrt relu(x*a+t))
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
-    dr = _conv_apply_padded(pg, pack_weights(w_t).astype(g.dtype), cin, g.shape[-1])
-    # fused XLA tail: mask recompute + dx/da/dt (one pass over dr and x)
-    xf = x.astype(jnp.float32)
-    af = a.astype(jnp.float32)[:, :, None, None, None]
-    tf = t.astype(jnp.float32)[:, :, None, None, None]
-    du = jnp.where((xf * af + tf) > 0, dr.astype(jnp.float32), 0.0)
-    dx = (du * af).astype(x.dtype)
-    da = jnp.sum(du * xf, axis=(2, 3, 4)).astype(a.dtype)
-    dt_ = jnp.sum(du, axis=(2, 3, 4)).astype(t.dtype)
+    wt_packed = pack_weights(w_t).astype(g.dtype)
+    if os.environ.get("MMSEG_BOUNDARY_EPILOGUE", "") == "1":
+        # Option B: dx conv + relu-mask/affine epilogue + (da, dt)
+        # accumulators in ONE kernel — dr never exists in HBM
+        dx, da, dt_ = _conv_dx_epilogue(pg, wt_packed, x, a, t)
+        da = da.astype(a.dtype)
+        dt_ = dt_.astype(t.dtype)
+    else:
+        # Option A: materialize dr, one fused XLA tail over (dr, x)
+        dr = _conv_apply_padded(pg, wt_packed, cin, g.shape[-1])
+        xf = x.astype(jnp.float32)
+        af = a.astype(jnp.float32)[:, :, None, None, None]
+        tf = t.astype(jnp.float32)[:, :, None, None, None]
+        du = jnp.where((xf * af + tf) > 0, dr.astype(jnp.float32), 0.0)
+        dx = (du * af).astype(x.dtype)
+        da = jnp.sum(du * xf, axis=(2, 3, 4)).astype(a.dtype)
+        dt_ = jnp.sum(du, axis=(2, 3, 4)).astype(t.dtype)
     xp = _pad_for_kernel(x)
     dw_packed = _conv_dw_prologue(xp, pg, a, t, cout, g.shape[-1])
     dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)

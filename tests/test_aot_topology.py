@@ -108,3 +108,76 @@ def test_sharded_pallas_train_step_compiles_for_v5e_topology():
         pytest.skip("no TPU topology/libtpu support in this environment")
     assert out.returncode == 0, out.stdout + out.stderr
     assert "AOT_TOPOLOGY_OK" in out.stdout, out.stdout + out.stderr
+
+
+WORKER_FUSED = r"""
+import os, sys
+os.environ["MMSEG_FORCE_MOSAIC"] = "1"
+os.environ["MMSEG_FUSE_BOUNDARY"] = "1"
+os.environ["MMSEG_BOUNDARY_EPILOGUE"] = "1"
+os.environ["MMSEG_KW_STACK"] = "1"
+os.environ["MMSEG_DW_SHARED"] = "1"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax.experimental import topologies
+    topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+except Exception as e:
+    print("SKIP_NO_TOPOLOGY:", e)
+    sys.exit(0)
+
+from multimodal_segmentation_project_tpu.models.unet3d import DoubleConv
+
+mesh = Mesh(np.array(topo.devices[:1]), ("x",))
+repl = NamedSharding(mesh, P())
+
+mod = DoubleConv(features=8, dropout_rate=0.1, dtype=jnp.bfloat16,
+                 conv_impl="pallas")
+x_abs = jax.ShapeDtypeStruct((1, 4, 16, 16, 16), jnp.bfloat16, sharding=repl)
+v_shape = jax.eval_shape(
+    lambda r, x: mod.init(r, x, train=False), {"params": jax.random.key(0)}, x_abs
+)
+v_abs = jax.tree.map(
+    lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl), v_shape
+)
+key_abs = jax.eval_shape(lambda: jax.random.key(1))
+key_abs = jax.ShapeDtypeStruct(key_abs.shape, key_abs.dtype, sharding=repl)
+
+
+def loss(v, x, key):
+    out, _ = mod.apply(v, x, train=True, mutable=["batch_stats"],
+                       rngs={"dropout": key})
+    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+
+lowered = jax.jit(jax.grad(loss)).lower(v_abs, x_abs, key_abs)
+hlo = lowered.as_text()
+assert "custom_call" in hlo, "expected Mosaic custom calls in the lowered HLO"
+compiled = lowered.compile()
+print("AOT_FUSED_OK temp_bytes=%d" % compiled.memory_analysis().temp_size_in_bytes)
+"""
+
+
+def test_fused_boundary_kernels_compile_for_tpu_target():
+    """Mosaic-compile ALL opt-in kernel modes for a real v5e target
+    (kw-stack, shared-pg dw, fused boundary fwd + Option-B epilogue
+    backward) — interpret mode is permissive; this is the acceptance
+    gate a first real-TPU run would otherwise hit."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER_FUSED],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=580,
+    )
+    if "SKIP_NO_TOPOLOGY" in out.stdout:
+        pytest.skip("no TPU topology/libtpu support in this environment")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "AOT_FUSED_OK" in out.stdout, out.stdout + out.stderr

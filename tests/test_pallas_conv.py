@@ -227,3 +227,31 @@ def test_fused_boundary_dropout_channel_semantics(rng, monkeypatch):
     # a dropped channel is all-zero across its volume (Dropout3d)
     ch_any = np.asarray(jnp.any(out != 0, axis=(2, 3, 4)))
     assert ch_any.ndim == 2  # (B, C) pattern exists
+
+
+def test_boundary_gradient_parity_epilogue(rng, monkeypatch):
+    """MMSEG_BOUNDARY_EPILOGUE=1 (Option B): dx conv + mask/affine
+    epilogue + in-kernel (da, dt) accumulators — same gradients as the
+    XLA-tail default."""
+    monkeypatch.setenv("MMSEG_BOUNDARY_EPILOGUE", "1")
+    bdim, cin, cout = 2, 4, 8
+    x = jnp.asarray(rng.normal(size=(bdim, cin, 4, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(bdim, cin)) + 1.0, jnp.float32)
+    t = jnp.asarray(rng.normal(size=(bdim, cin)) * 0.5, jnp.float32)
+
+    def loss_fused(x, w, b, a, t):
+        return jnp.sum(pc.conv3x3x3_cf_boundary(x, w, b, a, t) ** 2)
+
+    def loss_ref(x, w, b, a, t):
+        r = jnp.maximum(x * a[:, :, None, None, None] + t[:, :, None, None, None], 0.0)
+        return jnp.sum(pc.conv3x3x3_cf_reference(r, w, b) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w, b, a, t)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w, b, a, t)
+    for name, u, v in zip(("dx", "dw", "db", "da", "dt"), gf, gr):
+        scale = max(float(jnp.max(jnp.abs(v))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u) / scale, np.asarray(v) / scale, atol=2e-4, err_msg=name
+        )
