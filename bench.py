@@ -49,7 +49,38 @@ ITERS = int(os.environ.get("BENCH_ITERS", "8"))
 N_BATCHES = ITERS + 2  # every call sees unique data (relay caching)
 
 
+def _require_live_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (exit 1, no JSON) if the TPU backend cannot initialize.
+
+    The axon relay can go down for hours; ``jax.devices()`` then HANGS
+    with no error (observed 2026-08-17/18). A benchmark that hangs
+    forever is worse than one that fails loudly — probe device init on
+    a watchdog so the driver gets a clear failure instead."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok.is_set():
+        import sys
+
+        sys.stderr.write(
+            f"bench.py: JAX backend failed to initialize within {timeout_s:.0f}s "
+            "(TPU relay unreachable?) — no measurement possible\n"
+        )
+        os._exit(1)
+
+
 def main() -> None:
+    _require_live_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
     import jax
     import jax.numpy as jnp
 
