@@ -79,31 +79,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kw_stacked() -> bool:
-    """Stack the three kw dots into one M=3*Cout dot (MMSEG_KW_STACK=1).
-
-    All three kw-split dots share the same im2col panel operand, so one
-    dot with the weight matrices stacked on M computes the identical
-    three result blocks. When 3*Cout <= 128 this fills 3x more MXU rows
-    per pass; measured A/B on real TPU decides the default."""
-    return os.environ.get("MMSEG_KW_STACK", "") == "1"
-
-
 def _kw_dots(w_ref, p, cout: int):
-    """Three (Cout, N) fp32 results w_kw @ p, kw in {0,1,2}.
+    """Three (Cout, N) fp32 results w_kw @ p, kw in {0,1,2}, computed
+    as ONE stacked M=3*Cout dot.
 
-    ``w_ref`` holds the packed (3, Cout, 9*Cin) weights; the stacked
-    variant collapses the leading dims (legal in Mosaic — not a lane
-    reshape) and slices the row blocks of a single dot."""
-    if _kw_stacked():
-        w2 = w_ref[:].reshape(3 * cout, w_ref.shape[2])
-        accs = jnp.dot(w2, p, preferred_element_type=jnp.float32)
-        return accs[:cout], accs[cout : 2 * cout], accs[2 * cout :]
-    return (
-        jnp.dot(w_ref[0], p, preferred_element_type=jnp.float32),
-        jnp.dot(w_ref[1], p, preferred_element_type=jnp.float32),
-        jnp.dot(w_ref[2], p, preferred_element_type=jnp.float32),
-    )
+    All three kw taps share the same im2col panel operand, so a single
+    dot with the weight matrices stacked on M computes the identical
+    three result blocks while filling up to 3x more MXU rows per pass
+    (collapsing the leading dims of the packed (3, Cout, 9*Cin) weights
+    is legal in Mosaic — not a lane reshape). Measured on the real-TPU
+    192^3 train step vs three separate kw dots: −3.4 ms/step."""
+    w2 = w_ref[:].reshape(3 * cout, w_ref.shape[2])
+    accs = jnp.dot(w2, p, preferred_element_type=jnp.float32)
+    return accs[:cout], accs[cout : 2 * cout], accs[2 * cout :]
 
 
 def _pick_tile_d(d: int, cin: int) -> int:
@@ -370,57 +358,6 @@ def _conv_apply_padded(
     return call(xp, w_packed)
 
 
-def _dw_kernel(
-    x_ref, g_ref, dw_ref, xtile, panel, g3, dma_sem, *,
-    cin, cout, td, th, wp, n_ht, n_d,
-):
-    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
-    n = th * wp
-    # accumulate into dw_ref between dots (not into a local): keeping a
-    # live fp32 accumulator across unrolled dots doubles the Mosaic
-    # stack footprint and blows the scoped-VMEM budget
-    for t in range(td):
-        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
-        g_tile = g_ref[0, :, t, :, :].reshape(cout, th * wp)
-        # stack the three kw-rolls of g along the dot's N axis:
-        # dw_(kd,kh),kw = base_kdh @ rollR(g, kw)^T, rolled-in wrap
-        # columns hit g's zero padding (g is zero beyond w_dim).
-        # Mosaic's lane rotate is 32-bit only: roll in fp32, cast back.
-        g32 = g_tile.astype(jnp.float32)
-        g3[pl.ds(0, cout), :] = g_tile
-        g3[pl.ds(cout, cout), :] = pltpu.roll(g32, 1, axis=1).astype(g_tile.dtype)
-        g3[pl.ds(2 * cout, cout), :] = pltpu.roll(g32, 2, axis=1).astype(g_tile.dtype)
-        pdw = jax.lax.dot_general(
-            panel[:],
-            g3[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (9*Cin, 3*Cout)
-        if t == 0:
-
-            @pl.when(first)
-            def _():
-                dw_ref[:] = pdw
-
-            @pl.when(jnp.logical_not(first))
-            def _():
-                dw_ref[:] = dw_ref[:] + pdw
-
-        else:
-            dw_ref[:] = dw_ref[:] + pdw
-
-
-def _dw_shared() -> bool:
-    """Read the cotangent from the SAME _pad_for_kernel-padded buffer
-    the dx conv consumes (MMSEG_DW_SHARED=1), instead of a second
-    W-only pad. One pad pass of g serves the whole backward; the lane
-    shift folds into the kw rolls and the plane/row halo offsets are
-    static in-kernel slices. Trades the pad pass for a 2nd haloed DMA
-    stream (~2.25x g bytes) — measured A/B on real TPU decides."""
-    return os.environ.get("MMSEG_DW_SHARED", "") == "1"
-
-
 def _dw_kernel_shared(
     x_ref, pg_ref, dw_ref, xtile, gtile, panel, g3, dma_sem, gdma_sem, *,
     cin, cout, td, th, wp, n_ht, n_d,
@@ -502,53 +439,6 @@ def _conv_dw_shared(xp: jax.Array, pg: jax.Array, cout: int) -> jax.Array:
     )(xp, pg)
 
 
-def _conv_dw(xp: jax.Array, g: jax.Array) -> jax.Array:
-    """Accumulate dW_packed (9*Cin, 3*Cout) over the whole volume
-    (rows (kd,kh,ci), cols (kw,co); see unpack_weight_grads).
-
-    ``xp`` is the _pad_for_kernel-padded forward input, reused straight
-    from the VJP residual — this kernel issues NO pad of x. Only the
-    cotangent is W-padded to the lane multiple."""
-    b, cout, d, h, w_dim = g.shape
-    cin = xp.shape[1]
-    wp = xp.shape[-1]
-    # zero-pad g's W to the same WP: garbage panel columns contribute 0
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, 0), (0, wp - w_dim)))
-    td = _pick_tile_d_dw(d, cin)
-    th = _pick_tile_h(h, cin)
-    n_dt = d // td
-    n_ht = h // th
-    kernel = partial(
-        _dw_kernel, cin=cin, cout=cout, td=td, th=th, wp=wp, n_ht=n_ht, n_d=n_dt
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(b, n_dt, n_ht),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, cout, td, th, wp),
-                lambda bb, dd, hh: (bb, 0, dd, hh, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (9 * cin, 3 * cout), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((9 * cin, 3 * cout), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, cin, td + 2, th + 8, wp), xp.dtype),
-            pltpu.VMEM((9 * cin, th * wp), xp.dtype),
-            pltpu.VMEM((3 * cout, th * wp), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=_interpret(),
-    )(xp, gp)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=())
 def conv3x3x3_cf(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """SAME 3x3x3 conv, channel-first (B, C, D, H, W), Pallas TPU kernel.
@@ -583,14 +473,12 @@ def _conv_bwd_rule(res, g):
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))  # (3,3,3,Cout,Cin)
     wt_packed = pack_weights(w_t).astype(g.dtype)
-    if _dw_shared():
-        # ONE halo pad of g feeds both the dx conv and the dw kernel
-        pg = _pad_for_kernel(g)
-        dx = _conv_apply_padded(pg, wt_packed, cin, g.shape[-1])
-        dw_packed = _conv_dw_shared(xp, pg, cout)
-    else:
-        dx = _conv_apply(g, wt_packed, cin)
-        dw_packed = _conv_dw(xp, g)
+    # ONE halo pad of g feeds both the dx conv and the dw kernel (the
+    # lane shift folds into the kw rolls). Measured on the real-TPU
+    # 192^3 train step vs a second W-only pad of g: −13.5 ms/step.
+    pg = _pad_for_kernel(g)
+    dx = _conv_apply_padded(pg, wt_packed, cin, g.shape[-1])
+    dw_packed = _conv_dw_shared(xp, pg, cout)
     dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
     return dx, dw, db
@@ -644,14 +532,10 @@ def _conv_stats_bwd_rule(res, cts):
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
     wt_packed = pack_weights(w_t).astype(g.dtype)
-    if _dw_shared():
-        pg = _pad_for_kernel(g_eff)
-        dx = _conv_apply_padded(pg, wt_packed, cin, g_eff.shape[-1])
-        dw = unpack_weight_grads(_conv_dw_shared(xp, pg, cout), cin, cout)
-        dw = dw.astype(w.dtype)
-    else:
-        dx = _conv_apply(g_eff, wt_packed, cin)
-        dw = unpack_weight_grads(_conv_dw(xp, g_eff), cin, cout).astype(w.dtype)
+    pg = _pad_for_kernel(g_eff)
+    dx = _conv_apply_padded(pg, wt_packed, cin, g_eff.shape[-1])
+    dw = unpack_weight_grads(_conv_dw_shared(xp, pg, cout), cin, cout)
+    dw = dw.astype(w.dtype)
     db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
     return dx, dw, db
 
@@ -893,7 +777,7 @@ def _dx_epilogue_kernel(
 
 def _conv_dx_epilogue(pg, wt_packed, x, a, t):
     """dy, da, dt from the halo-padded cotangent in ONE kernel (the
-    Option-B boundary backward; MMSEG_BOUNDARY_EPILOGUE=1)."""
+    fused boundary backward)."""
     b, cin, d, h, w_dim = x.shape
     cout_g = pg.shape[1]
     wp = pg.shape[-1]
@@ -979,22 +863,14 @@ def _boundary_bwd_rule(res, g):
     w_flip = w[::-1, ::-1, ::-1, :, :]
     w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
     wt_packed = pack_weights(w_t).astype(g.dtype)
-    if os.environ.get("MMSEG_BOUNDARY_EPILOGUE", "") == "1":
-        # Option B: dx conv + relu-mask/affine epilogue + (da, dt)
-        # accumulators in ONE kernel — dr never exists in HBM
-        dx, da, dt_ = _conv_dx_epilogue(pg, wt_packed, x, a, t)
-        da = da.astype(a.dtype)
-        dt_ = dt_.astype(t.dtype)
-    else:
-        # Option A: materialize dr, one fused XLA tail over (dr, x)
-        dr = _conv_apply_padded(pg, wt_packed, cin, g.shape[-1])
-        xf = x.astype(jnp.float32)
-        af = a.astype(jnp.float32)[:, :, None, None, None]
-        tf = t.astype(jnp.float32)[:, :, None, None, None]
-        du = jnp.where((xf * af + tf) > 0, dr.astype(jnp.float32), 0.0)
-        dx = (du * af).astype(x.dtype)
-        da = jnp.sum(du * xf, axis=(2, 3, 4)).astype(a.dtype)
-        dt_ = jnp.sum(du, axis=(2, 3, 4)).astype(t.dtype)
+    # dx conv + relu-mask/affine epilogue + (da, dt) accumulators in
+    # ONE kernel — the conv's raw output (dr) never exists in HBM.
+    # Measured on the real-TPU 192^3 train step vs materializing dr
+    # with a fused XLA tail: −6.4 ms/step in combination with the
+    # other round-3 kernel changes.
+    dx, da, dt_ = _conv_dx_epilogue(pg, wt_packed, x, a, t)
+    da = da.astype(a.dtype)
+    dt_ = dt_.astype(t.dtype)
     xp = _pad_for_kernel(x)
     dw_packed = _conv_dw_prologue(xp, pg, a, t, cout, g.shape[-1])
     dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)

@@ -113,10 +113,6 @@ def test_sharded_pallas_train_step_compiles_for_v5e_topology():
 WORKER_FUSED = r"""
 import os, sys
 os.environ["MMSEG_FORCE_MOSAIC"] = "1"
-os.environ["MMSEG_FUSE_BOUNDARY"] = "1"
-os.environ["MMSEG_BOUNDARY_EPILOGUE"] = "1"
-os.environ["MMSEG_KW_STACK"] = "1"
-os.environ["MMSEG_DW_SHARED"] = "1"
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -163,8 +159,8 @@ print("AOT_FUSED_OK temp_bytes=%d" % compiled.memory_analysis().temp_size_in_byt
 
 
 def test_fused_boundary_kernels_compile_for_tpu_target():
-    """Mosaic-compile ALL opt-in kernel modes for a real v5e target
-    (kw-stack, shared-pg dw, fused boundary fwd + Option-B epilogue
+    """Mosaic-compile the full default kernel set for a real v5e target
+    (kw-stacked dot, shared-pg dw, fused boundary fwd + dx-epilogue
     backward) — interpret mode is permissive; this is the acceptance
     gate a first real-TPU run would otherwise hit."""
     env = dict(os.environ)

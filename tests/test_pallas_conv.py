@@ -85,29 +85,6 @@ def test_model_outputs_match_between_impls(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-4)
 
 
-def test_gradient_parity_dw_shared(case, monkeypatch):
-    """MMSEG_DW_SHARED=1: one halo pad of g feeds dx AND dw; gradients
-    must match the two-pad default bit-for-bit in fp32."""
-    x, w, b = case
-    loss = lambda x, w, b: jnp.sum(pc.conv3x3x3_cf(x, w, b) ** 2)
-    g_def = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
-    monkeypatch.setenv("MMSEG_DW_SHARED", "1")
-    g_shr = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
-    for name, u, v in zip(("dx", "dw", "db"), g_shr, g_def):
-        np.testing.assert_allclose(
-            np.asarray(u), np.asarray(v), atol=1e-5, err_msg=name
-        )
-
-
-def test_forward_parity_kw_stacked(case, monkeypatch):
-    """MMSEG_KW_STACK=1: one M=3*Cout dot replaces the three kw dots."""
-    x, w, b = case
-    ref = pc.conv3x3x3_cf_reference(x, w, b)
-    monkeypatch.setenv("MMSEG_KW_STACK", "1")
-    out = pc.conv3x3x3_cf(x, w, b)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-
 def test_boundary_forward_parity(rng):
     """conv3x3x3_cf_boundary == conv(relu(x*a + t)) + b, including halo
     masking (the affine must NOT leak into the SAME-padding zeros)."""
@@ -127,8 +104,9 @@ def test_boundary_forward_parity(rng):
 
 
 def test_boundary_gradient_parity(rng):
-    """Full VJP of the fused boundary op vs autodiff of the XLA
-    composition: dx, dw, db, da, dt."""
+    """Full VJP of the fused boundary op (dx-epilogue kernel: dx conv +
+    relu-mask/affine + in-kernel (da, dt) accumulators) vs autodiff of
+    the XLA composition: dx, dw, db, da, dt."""
     bdim, cin, cout = 2, 4, 8
     x = jnp.asarray(rng.normal(size=(bdim, cin, 4, 8, 16)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
@@ -152,31 +130,32 @@ def test_boundary_gradient_parity(rng):
         )
 
 
-def test_fused_boundary_doubleconv_parity(rng, monkeypatch):
-    """MMSEG_FUSE_BOUNDARY=1: the fused DoubleConv (conv+stats -> BN
-    affine -> prologue conv) matches the unfused training path — same
-    params, same outputs, same batch_stats updates, same gradients
-    (dropout 0 so no mask-draw divergence)."""
+def test_fused_boundary_doubleconv_parity(rng):
+    """The fused DoubleConv (conv+stats -> BN affine -> prologue conv,
+    the training-mode pallas default) matches the unfused XLA training
+    path — same params, same outputs, same batch_stats updates, same
+    gradients (dropout 0 so no mask-draw divergence)."""
     from multimodal_segmentation_project_tpu.models.unet3d import DoubleConv
 
     x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 16)), jnp.float32)
     mod = DoubleConv(features=8, dropout_rate=0.0, dtype=jnp.float32,
                      conv_impl="pallas")
+    mod_ref = DoubleConv(features=8, dropout_rate=0.0, dtype=jnp.float32,
+                         conv_impl="xla")
     v = mod.init({"params": jax.random.key(0)}, x, train=True)
 
-    def run(x, params):
+    def run(mod, x, params):
         out, upd = mod.apply(
             {"params": params, "batch_stats": v["batch_stats"]},
             x, train=True, mutable=["batch_stats"],
         )
         return out, upd
 
-    out_ref, upd_ref = run(x, v["params"])
-    g_ref = jax.grad(lambda p: jnp.sum(run(x, p)[0] ** 2))(v["params"])
+    out_ref, upd_ref = run(mod_ref, x, v["params"])
+    g_ref = jax.grad(lambda p: jnp.sum(run(mod_ref, x, p)[0] ** 2))(v["params"])
 
-    monkeypatch.setenv("MMSEG_FUSE_BOUNDARY", "1")
-    out_f, upd_f = run(x, v["params"])
-    g_f = jax.grad(lambda p: jnp.sum(run(x, p)[0] ** 2))(v["params"])
+    out_f, upd_f = run(mod, x, v["params"])
+    g_f = jax.grad(lambda p: jnp.sum(run(mod, x, p)[0] ** 2))(v["params"])
 
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref), atol=2e-4)
     def flat(t):
@@ -188,8 +167,10 @@ def test_fused_boundary_doubleconv_parity(rng, monkeypatch):
     fu, fr = flat(upd_f), flat(upd_ref)
     assert fu.keys() == fr.keys()
     for k in fu:
+        # cross-impl (pallas vs XLA conv) comparison: fp32 conv parity
+        # is ~1e-4, so the running stats inherit that tolerance
         np.testing.assert_allclose(
-            np.asarray(fu[k]), np.asarray(fr[k]), atol=1e-5, err_msg=k
+            np.asarray(fu[k]), np.asarray(fr[k]), atol=2e-4, err_msg=k
         )
     gu, gr = flat(g_f), flat(g_ref)
     assert gu.keys() == gr.keys()
@@ -208,13 +189,12 @@ def test_fused_boundary_doubleconv_parity(rng, monkeypatch):
         )
 
 
-def test_fused_boundary_dropout_channel_semantics(rng, monkeypatch):
+def test_fused_boundary_dropout_channel_semantics(rng):
     """With dropout active, the fused path still yields finite outputs
     and a param tree identical to the unfused one (mask draws differ by
     construction — torch Dropout3d channel semantics preserved)."""
     from multimodal_segmentation_project_tpu.models.unet3d import DoubleConv
 
-    monkeypatch.setenv("MMSEG_FUSE_BOUNDARY", "1")
     x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 16)), jnp.float32)
     mod = DoubleConv(features=8, dropout_rate=0.5, dtype=jnp.float32,
                      conv_impl="pallas")
@@ -229,29 +209,3 @@ def test_fused_boundary_dropout_channel_semantics(rng, monkeypatch):
     assert ch_any.ndim == 2  # (B, C) pattern exists
 
 
-def test_boundary_gradient_parity_epilogue(rng, monkeypatch):
-    """MMSEG_BOUNDARY_EPILOGUE=1 (Option B): dx conv + mask/affine
-    epilogue + in-kernel (da, dt) accumulators — same gradients as the
-    XLA-tail default."""
-    monkeypatch.setenv("MMSEG_BOUNDARY_EPILOGUE", "1")
-    bdim, cin, cout = 2, 4, 8
-    x = jnp.asarray(rng.normal(size=(bdim, cin, 4, 8, 16)), jnp.float32)
-    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
-    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
-    a = jnp.asarray(rng.normal(size=(bdim, cin)) + 1.0, jnp.float32)
-    t = jnp.asarray(rng.normal(size=(bdim, cin)) * 0.5, jnp.float32)
-
-    def loss_fused(x, w, b, a, t):
-        return jnp.sum(pc.conv3x3x3_cf_boundary(x, w, b, a, t) ** 2)
-
-    def loss_ref(x, w, b, a, t):
-        r = jnp.maximum(x * a[:, :, None, None, None] + t[:, :, None, None, None], 0.0)
-        return jnp.sum(pc.conv3x3x3_cf_reference(r, w, b) ** 2)
-
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w, b, a, t)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w, b, a, t)
-    for name, u, v in zip(("dx", "dw", "db", "da", "dt"), gf, gr):
-        scale = max(float(jnp.max(jnp.abs(v))), 1.0)
-        np.testing.assert_allclose(
-            np.asarray(u) / scale, np.asarray(v) / scale, atol=2e-4, err_msg=name
-        )
