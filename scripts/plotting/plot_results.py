@@ -45,7 +45,14 @@ def load_runs(run_specs):
     return runs
 
 
-def plot_box(runs, out):
+def plot_box(runs, out, group_by="organ"):
+    """Grouped per-organ Dice box plot.
+
+    group_by="organ" puts organs on the x-axis with one box per run
+    (plot_results.py style); group_by="run" puts runs/experiments on the
+    x-axis with one box per organ and mean markers, the layout of the
+    reference's plot_results_mri_baseline.py baseline-comparison figure.
+    """
     import seaborn as sns
 
     rows = []
@@ -55,7 +62,12 @@ def plot_box(runs, out):
                 rows.append({"run": label, "organ": organ, "dice": v})
     data = pd.DataFrame(rows)
     plt.figure(figsize=(10, 6))
-    sns.boxplot(data=data, x="organ", y="dice", hue="run")
+    x, hue = ("organ", "run") if group_by == "organ" else ("run", "organ")
+    sns.boxplot(
+        data=data, x=x, y="dice", hue=hue, showmeans=group_by == "run",
+        meanprops={"marker": "o", "markerfacecolor": "white",
+                   "markeredgecolor": "black"},
+    )
     plt.title("Per-organ Dice")
     plt.ylim(0, 1)
     plt.grid(True, axis="y", alpha=0.3)
@@ -97,10 +109,13 @@ def main():
                    help="per_sample_metrics.csv[:label] entries")
     p.add_argument("--out", default="results.png")
     p.add_argument("--xlabel", default="n samples")
+    p.add_argument("--group-by", choices=["organ", "run"], default="organ",
+                   help="box mode: x-axis grouping (run = reference "
+                        "mri_baseline layout)")
     args = p.parse_args()
     runs = load_runs(args.runs)
     if args.kind == "box":
-        plot_box(runs, args.out)
+        plot_box(runs, args.out, args.group_by)
     else:
         plot_line(runs, args.out, args.xlabel)
 

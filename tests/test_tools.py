@@ -38,11 +38,17 @@ def test_plot_results_box_and_line(tmp_path):
         "a,0.8,0.9,0.7,0.7,0.8,0.6,0.1\n"
         "b,0.82,0.88,0.72,0.71,0.79,0.61,0.1\n"
     )
-    for kind, out in [("box", "box.png"), ("line", "line.png")]:
+    # third case: the reference mri_baseline layout (x=run, hue=organ)
+    for kind, out, extra in [
+        ("box", "box.png", []),
+        ("line", "line.png", []),
+        ("box", "box_by_run.png", ["--group-by", "run"]),
+    ]:
         r = subprocess.run(
             [sys.executable,
              os.path.join(REPO, "scripts", "plotting", "plot_results.py"),
-             kind, "--runs", f"{csv}:5", "--out", str(tmp_path / out)],
+             kind, "--runs", f"{csv}:5", "--out", str(tmp_path / out),
+             *extra],
             capture_output=True, text=True, cwd=REPO,
         )
         assert r.returncode == 0, r.stderr
