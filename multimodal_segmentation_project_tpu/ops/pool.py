@@ -167,26 +167,24 @@ def _pool_bwd_rule(res, g):
     tiles = _bwd_tiles(x.shape[1], x.shape[2], x.shape[3], x.shape[4])
     if tiles is not None:
         return (_pool_bwd_pallas(x, y, g, *tiles),)
-    # fallback: the same equal-shares formula in plain XLA (upsample by
-    # repeat; only used for shapes the kernel gates out)
-    up = lambda t: jnp.repeat(
-        jnp.repeat(jnp.repeat(t, 2, axis=2), 2, axis=3), 2, axis=4
-    )
-    yd, gd = up(y), up(g.astype(jnp.float32))
-    xx = x[:, :, : yd.shape[2], : yd.shape[3], : yd.shape[4]]
-    mask = (xx == yd).astype(jnp.float32)
-    b, c, d2, h2, w2 = mask.shape
-    cnt = mask.reshape(b, c, d2 // 2, 2, h2 // 2, 2, w2 // 2, 2).sum(
-        axis=(3, 5, 7), keepdims=True
-    )
-    cnt = jnp.broadcast_to(
-        cnt, (b, c, d2 // 2, 2, h2 // 2, 2, w2 // 2, 2)
-    ).reshape(mask.shape)
-    dx = (mask * gd / cnt).astype(x.dtype)
-    pad = [(0, 0), (0, 0)] + [
-        (0, x.shape[i] - dx.shape[i]) for i in (2, 3, 4)
-    ]
-    return (jnp.pad(dx, pad),)
+    # Fallback for kernel-gated shapes: plain autodiff of the forward
+    # chain. A hand-written equal-shares formula (upsample-by-repeat +
+    # 8-d reshape multi-axis count sum) previously lived here and was
+    # MISCOMPILED by the TPU backend when embedded in the full train
+    # graph: compiled grads came back 100% non-finite while the
+    # de-optimized (eager) replay of the identical graph was finite, and
+    # the formula in isolation was finite for every input distribution
+    # tried. Root-caused to the cnt reshape/sum chain (replacing cnt
+    # with a constant, or dropping the division, removed the NaNs; both
+    # repeat- and broadcast_to-style upsampling of cnt reproduced them).
+    # Autodiff of the two-stage forward avoids that op pattern entirely
+    # and is exact for untied windows; tie semantics differ from the
+    # Pallas kernel's equal shares only at exact float ties across
+    # pooling stages (see module docstring). Gated shapes are the small
+    # deep levels (W < 48), so the XLA chain's backward cost is
+    # negligible there.
+    _, vjp = jax.vjp(_pool_fwd_xla, x)
+    return (vjp(g)[0],)
 
 
 max_pool2x_cf.defvjp(_pool_fwd_rule, _pool_bwd_rule)
