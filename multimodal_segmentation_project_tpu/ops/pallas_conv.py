@@ -116,13 +116,17 @@ def _pick_tile_d_dw(d: int, cin: int) -> int:
     return 1
 
 
-def _pick_tile_h(h: int, cin: int) -> int:
+def _pick_tile_h(h: int, cin: int, wp: int) -> int:
     """Tile height: a multiple of 8 keeps DMA slices sublane-aligned;
     kernels require h % 8 == 0 (the dispatcher falls back to XLA
     otherwise). Larger tiles amortize per-step overhead, but the im2col
-    panel (27*Cin x TH*WP) must stay within VMEM, so wide-Cin convs use
-    shorter tiles."""
-    return 16 if (h % 16 == 0 and cin <= 32) else 8
+    panel (9*Cin x TH*WP) and the unrolled fp32 dot stack must stay
+    within the 16 MB scoped-VMEM budget, so wide-Cin convs use shorter
+    tiles — and so do wide-W volumes: at 256^3 the full-resolution
+    convs lane-pad to WP=384 (every 192^3 shape stays <= 256) and
+    TH=16 overflows scoped VMEM by 3.4 MB (measured AOT compile
+    error); TH=8 fits with ~4 MB to spare."""
+    return 16 if (h % 16 == 0 and cin <= 32 and wp <= 256) else 8
 
 
 def supported_conv(cin: int, cout: int, h: int, w: int) -> bool:
@@ -291,7 +295,7 @@ def _fwd_stats_kernel(
 
 def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype, with_stats=False):
     td = _pick_tile_d(d, cin)
-    th = _pick_tile_h(h, cin)
+    th = _pick_tile_h(h, cin, wp)
     n_dt = d // td
     n_ht = h // th
     kfn = _fwd_stats_kernel if with_stats else _fwd_kernel
@@ -407,7 +411,7 @@ def _conv_dw_shared(xp: jax.Array, pg: jax.Array, cout: int) -> jax.Array:
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
     td = _pick_tile_d_dw(d, cin)
-    th = _pick_tile_h(h, cin)
+    th = _pick_tile_h(h, cin, wp)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _dw_kernel_shared, cin=cin, cout=cout, td=td, th=th, wp=wp,
@@ -605,7 +609,7 @@ def _conv_boundary_apply(xp, w_packed, a, t, cout, w_dim):
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
     td = _pick_tile_d(d, cin)
-    th = _pick_tile_h(h, cin)
+    th = _pick_tile_h(h, cin, wp)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _fwd_prologue_kernel, cin=cin, cout=cout, td=td, th=th,
@@ -691,7 +695,7 @@ def _conv_dw_prologue(xp, pg, a, t, cout, w_dim):
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
     td = _pick_tile_d_dw(d, cin)
-    th = _pick_tile_h(h, cin)
+    th = _pick_tile_h(h, cin, wp)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _dw_kernel_prologue, cin=cin, cout=cout, td=td, th=th, wp=wp,
@@ -782,7 +786,7 @@ def _conv_dx_epilogue(pg, wt_packed, x, a, t):
     cout_g = pg.shape[1]
     wp = pg.shape[-1]
     td = _pick_tile_d(d, cout_g)
-    th = _pick_tile_h(h, cout_g)
+    th = _pick_tile_h(h, cout_g, wp)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _dx_epilogue_kernel, cout_g=cout_g, cin=cin, td=td, th=th,

@@ -96,14 +96,38 @@ def _d2s_kernel(x_ref, w_ref, b_ref, out_ref, *, ci, co, td, th, w2, wp):
             out_ref[0, :, 2 * t + a, :, :] = z.reshape(co, 2 * th, wp)[:, :, :w2]
 
 
-def _d2s_tiles(d: int, h: int, w: int):
+def _d2s_tiles(cin: int, cout: int, d: int, h: int, w: int):
     """(td, th) when the Pallas depth-to-space kernel supports the
-    shape, else None."""
+    shape within the 16 MB scoped-VMEM budget, else None.
+
+    Two gates beyond shape divisibility, both hit at 256^3 and learned
+    from real compile errors:
+
+    * Mosaic requires a block's second-minor dim to be 8-divisible or
+      equal to the full array dim, so TH must be 8 (or H itself when
+      H < 8) — a TH=4 tile against H=16 is rejected at lowering.
+    * The kernel's stack holds the fp32 phase dot y (8*Cout, TH*WP)
+      plus reshape/select temps of the same order (~3x y), alongside
+      the double-buffered input and output blocks; the 256^3 deepest
+      decoder level (256 -> 128 @ 16^3) overflows the 16 MB scoped
+      VMEM by 544 KB at TH=8. With no smaller legal TH it falls back
+      to the einsum (that level is 16^3-small; the fallback costs ~0)."""
     if w > 128 or w % 8 != 0:
         return None
-    td = 2 if d % 2 == 0 else None
-    th = next((t for t in (8, 4, 2) if h % t == 0), None)
-    if td is None or th is None:
+    if d % 2 != 0:
+        return None
+    td = 2
+    wp = -(-2 * w // 128) * 128
+    if h % 8 == 0:
+        th = 8
+    elif h in (2, 4):
+        th = h
+    else:
+        return None
+    y_bytes = 4 * (8 * cout) * (th * wp)
+    in_block = 2 * cin * td * th * wp
+    out_block = 2 * cout * (2 * td) * (2 * th) * wp
+    if 3 * y_bytes + 2 * in_block + 2 * out_block > 14 * 2**20:
         return None
     return td, th
 
@@ -152,7 +176,7 @@ def _upconv_forward(x, kernel, bias):
             active_mesh_devices,
         )
 
-        tiles = _d2s_tiles(d, h, w)
+        tiles = _d2s_tiles(cin, cout, d, h, w)
         if tiles is not None and active_mesh_devices() == 1:
             # single-device bf16 path: Pallas depth-to-space kernel
             # (the einsum's lowering costs ~7 ms/step at the full-res

@@ -61,7 +61,7 @@ def test_upconv_d2s_kernel_matches_einsum():
     )
     k = jnp.asarray(rng.normal(size=(2, 2, 2, 8, 4)).astype(np.float32) * 0.3)
     b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32) * 0.1)
-    tiles = _d2s_tiles(4, 8, 16)
+    tiles = _d2s_tiles(8, 4, 4, 8, 16)
     assert tiles is not None
     got = _upconv_forward_d2s(x, k, b, *tiles)
     want = einsum_ref(x.astype(jnp.float32), k, b)
@@ -85,3 +85,27 @@ def test_upconv_bf16_compute():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(want), rtol=0.05, atol=0.05
     )
+
+def test_d2s_tiles_respect_vmem_and_mosaic_limits():
+    """Tile selection must model the kernel's limits, both learned from
+    real 256^3 compile errors: the scoped-VMEM stack (the 256^3 deepest
+    decoder level 256 -> 128 @ 16^3 overflowed the 16 MB limit by
+    544 KB at TH=8) and Mosaic's second-minor block rule (TH must be
+    8-divisible or equal to H, so there is no smaller legal TH there —
+    that level falls back to the einsum)."""
+    from multimodal_segmentation_project_tpu.ops.upconv import _d2s_tiles
+
+    # 256^3 deepest level: TH=8 over VMEM budget, TH=4 Mosaic-illegal
+    assert _d2s_tiles(256, 128, 16, 16, 16) is None
+    # 192^3 deepest level (12^3): w % 8 gate keeps the einsum fallback
+    assert _d2s_tiles(256, 128, 12, 12, 12) is None
+    # mid levels keep the large tile
+    assert _d2s_tiles(64, 32, 48, 48, 48) == (2, 8)
+    assert _d2s_tiles(128, 64, 32, 32, 32) == (2, 8)
+    # tiny H uses TH == H (block dim equal to array dim is legal)
+    assert _d2s_tiles(16, 8, 4, 4, 16) == (2, 4)
+    # H neither 8-divisible nor a whole-block candidate: no legal tile
+    assert _d2s_tiles(16, 8, 6, 6, 16) is None
+    # unsupported shapes still fall back
+    assert _d2s_tiles(16, 8, 3, 8, 16) is None
+    assert _d2s_tiles(16, 8, 4, 8, 130) is None
