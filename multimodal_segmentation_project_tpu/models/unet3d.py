@@ -524,15 +524,27 @@ class UNet3D(nn.Module):
         r_block = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat else DoubleConv
         r_stage = nn.remat(DecoderStage, static_argnums=(3,)) if self.remat else DecoderStage
 
-        def pick_block(feats, cin, h, w):
+        def _remat_worth_it(d, h, w):
+            # Remat exists to keep the XLA path's lane-padded
+            # channels-last interiors transient — a full-resolution
+            # concern. The deep blocks this path actually serves
+            # (C >= 128 at <= 48^3) hold ~10-30 MB of interiors against
+            # ~10 GB of free HBM, while their backward replays cost a
+            # measured ~6 ms/step of pure recompute (A/B on the real
+            # chip 160.7 -> 154.3 ms/step, reproduced 3x; trace: the
+            # `rematted_computation` convolution fusions at dec1/dec0/
+            # enc3/bottleneck, docs/PERFORMANCE.md round-3 notes).
+            return d * h * w > 48 ** 3
+
+        def pick_block(feats, cin, h, w, d):
             if _pallas_shape_ok(self.conv_impl, feats, cin, h, w):
                 return DoubleConv
-            return r_block
+            return r_block if _remat_worth_it(d, h, w) else DoubleConv
 
-        def pick_stage(feats, cin, h, w):
+        def pick_stage(feats, cin, h, w, d):
             if _pallas_shape_ok(self.conv_impl, feats, cin, h, w):
                 return DecoderStage
-            return r_stage
+            return r_stage if _remat_worth_it(d, h, w) else DecoderStage
 
         # Pool with the Pallas backward (ops/pool.py) on the
         # single-device TPU path — same gate as the Pallas 1x1 head
@@ -560,7 +572,7 @@ class UNet3D(nn.Module):
         x = x.astype(self.dtype)
         skips = []
         for i, feats in enumerate(self.features):
-            cls = pick_block(feats, x.shape[1], x.shape[3], x.shape[4])
+            cls = pick_block(feats, x.shape[1], x.shape[3], x.shape[4], x.shape[2])
             x = cls(
                 feats, self.dropout_rate, self.dtype, self.conv_impl,
                 self.fused_bn_stats, name=f"enc{i}"
@@ -568,7 +580,9 @@ class UNet3D(nn.Module):
             skips.append(x)
             x = pool_fn(x)
 
-        cls = pick_block(self.features[-1] * 2, x.shape[1], x.shape[3], x.shape[4])
+        cls = pick_block(
+            self.features[-1] * 2, x.shape[1], x.shape[3], x.shape[4], x.shape[2]
+        )
         x = cls(
             self.features[-1] * 2, self.dropout_rate, self.dtype, self.conv_impl,
             self.fused_bn_stats, name="bottleneck",
@@ -582,7 +596,9 @@ class UNet3D(nn.Module):
             skip = skips[-(i + 1)]
             # the stage's DoubleConv sees concat(skip, up) at the skip's
             # resolution with 2*feats input channels
-            cls = pick_stage(feats, 2 * feats, skip.shape[3], skip.shape[4])
+            cls = pick_stage(
+                feats, 2 * feats, skip.shape[3], skip.shape[4], skip.shape[2]
+            )
             x = cls(
                 feats, self.dropout_rate, self.dtype, self.conv_impl,
                 self.fused_bn_stats, name=f"dec{i}"

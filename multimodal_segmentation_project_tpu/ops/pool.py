@@ -20,6 +20,12 @@ ACROSS pooling stages, a measure-zero event masked downstream by the
 ReLU backward, and from torch's first-match rule likewise — divergence
 documented at max_pool_cf).
 
+Since round 3 the FORWARD is also a Pallas kernel where shapes allow
+(one bandwidth pass; the XLA chain spent ~3.3 ms at the 192^3 level in
+a T(2,128) reshape copy + windowed reduce). A/B on the real chip
+(docs/PERFORMANCE.md "Round 3 pool A/B"): Pallas fwd + pad-free bwd
+inputs + roll-based count moved the 192^3 train step 154.3 -> 149.1 ms.
+
 TPU tricks (each avoids an unsupported/expensive lane operation):
   * g and y are W-duplicated by the CALLER with one cheap jnp.repeat
     on the pooled (1/8-size) tensors, so the kernel never expands
@@ -27,9 +33,11 @@ TPU tricks (each avoids an unsupported/expensive lane operation):
   * D/H window duplication happens in registers via stack+reshape on
     sublane/major dims (never touches the lane dim);
   * the per-window equality COUNT needs a W-pair sum at every lane —
-    done as one tiny MXU dot with a constant (W, W) pairing matrix
-    P[i, j] = (i//2 == j//2), which sums lane pairs in place of an
-    (unsupported) strided lane reduction.
+    done with two lane rolls + a parity select (cnt[l] = s[l] +
+    s[l^1]), in place of an (unsupported) strided lane reduction;
+  * W-pair MAX in the forward uses the same roll+parity trick, then
+    compacts the duplicated lanes through one tiny MXU dot with the
+    0/1 selection matrix S[i, j] = (i == 2j).
 """
 
 from __future__ import annotations
@@ -40,6 +48,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_segmentation_project_tpu.ops.pallas_conv import _interpret
 
 
 def _pool_fwd_xla(x: jax.Array) -> jax.Array:
@@ -52,50 +62,127 @@ def _pool_fwd_xla(x: jax.Array) -> jax.Array:
     return jnp.maximum(x[..., 0::2], x[..., 1::2])
 
 
-def _bwd_kernel(x_ref, yw_ref, gw_ref, dx_ref, *, c, td, th, w, wp):
+def _fwd_pool_kernel(x_ref, sel_ref, y_ref, *, c, td, th, w):
+    """One bandwidth pass per input tile: D-pair max (plane indexing),
+    H-pair max (sublane reshape), W-pair max (lane rolls + parity
+    select, the dual of the backward's count trick), then lane
+    COMPACTION of the duplicated row through one MXU dot with the 0/1
+    selection matrix S[i, j] = (i == 2j) — each output column copies
+    exactly one input lane, sidestepping the unsupported strided lane
+    slice. The XLA chain costs ~3.3 ms at the 192^3 level in a
+    T(2,128) reshape copy + windowed reduce; this reads x once."""
+    parity = jax.lax.broadcasted_iota(jnp.int32, (c * th, w), 1) % 2
+    for t in range(td):
+        a0 = x_ref[0, :, 2 * t, :, :].astype(jnp.float32)  # (c, 2th, w)
+        a1 = x_ref[0, :, 2 * t + 1, :, :].astype(jnp.float32)
+        m = jnp.maximum(a0, a1)
+        m = m.reshape(c, th, 2, w)
+        m = jnp.maximum(m[:, :, 0, :], m[:, :, 1, :])  # (c, th, w)
+        m2 = m.reshape(c * th, w)
+        nb = jnp.where(
+            parity == 0,
+            pltpu.roll(m2, w - 1, axis=1),  # m[l+1]
+            pltpu.roll(m2, 1, axis=1),  # m[l-1]
+        )
+        md = jnp.maximum(m2, nb)  # W-pair max, duplicated per pair
+        yh = jnp.dot(md, sel_ref[:], preferred_element_type=jnp.float32)
+        y_ref[0, :, t, :, :] = yh.reshape(c, th, w // 2).astype(y_ref.dtype)
+
+
+def _fwd_tiles(d: int, h: int, w: int):
+    """(td, th) when the Pallas forward supports the shape, else None.
+
+    Block-shape legality: the x block's second-minor dim is 2*TH and
+    the y block's is TH — each must be 8-divisible or equal to its
+    array dim."""
+    if d % 2 or h % 2 or w % 2 or w % 8 != 0 or w < 48 or w > 512:
+        return None
+    td = 2 if (d // 2) % 2 == 0 else 1
+    if (h // 2) % 8 == 0:
+        th = 8
+    elif h // 2 in (2, 4):
+        th = h // 2
+    else:
+        return None
+    return td, th
+
+
+def _pool_fwd_pallas(x, td, th):
+    b, c, d, h, w = x.shape
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 0)
+        == 2 * jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 1)
+    ).astype(jnp.float32)
+    return pl.pallas_call(
+        partial(_fwd_pool_kernel, c=c, td=td, th=th, w=w),
+        grid=(b, (d // 2) // td, (h // 2) // th),
+        in_specs=[
+            pl.BlockSpec(
+                (1, c, 2 * td, 2 * th, w), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, td, th, w // 2), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, d // 2, h // 2, w // 2), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, sel)
+
+
+def _pool_fwd(x: jax.Array) -> jax.Array:
+    tiles = _fwd_tiles(x.shape[2], x.shape[3], x.shape[4])
+    if tiles is not None:
+        return _pool_fwd_pallas(x, *tiles)
+    return _pool_fwd_xla(x)
+
+
+def _bwd_kernel(x_ref, yw_ref, gw_ref, dx_ref, *, c, td, th, w):
     """Per grid step: dx for a (C, 2*td, 2*th, W) input tile.
 
     yw/gw are the pooled max / cotangent with W already duplicated
     (yw[..., l] = y[..., l//2]); D/H duplication happens here in
-    registers. cnt (#window elements equal to the max) is computed with
-    the pairing-matrix dot described in the module docstring.
+    registers. cnt (#window elements equal to the max) uses the
+    roll+parity W-pair sum described in the module docstring.
 
-    Mosaic constraints shape the layout (same playbook as
-    pallas_conv/upconv): all INPUT refs are lane-padded to ``wp``
-    (128-multiple) so the squeeze-reads and in-register stack/reshape
-    run at aligned widths; values convert to f32 immediately after
-    load; the store slices back to the raw ``w``, which bf16 stores
-    support. At the zero pad lanes x==yw==0 -> cnt=4, no div-by-zero;
-    the sliced store drops them."""
-    pair = (
-        jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 0) // 2
-        == jax.lax.broadcasted_iota(jnp.int32, (wp, wp), 1) // 2
-    ).astype(jnp.float32)
+    Mosaic accepts VMEM blocks whose lane dim equals the array's raw W
+    (block dim == array dim rule), and this kernel never lane-collapses
+    a reshape — so no 128-multiple input pads (which cost a full
+    read+write pass over x) are needed; values convert to f32
+    immediately after load."""
+    parity = jax.lax.broadcasted_iota(jnp.int32, (c * th, w), 1) % 2
     for t in range(td):
-        ywt = yw_ref[0, :, t, :, :].astype(jnp.float32)  # (C, th, WP)
+        ywt = yw_ref[0, :, t, :, :].astype(jnp.float32)  # (C, th, W)
         gwt = gw_ref[0, :, t, :, :].astype(jnp.float32)
-        # row-duplicate to window space: (C, th, WP) -> (C, 2*th, WP)
-        yd = jnp.stack([ywt, ywt], axis=2).reshape(c, 2 * th, wp)
-        gd = jnp.stack([gwt, gwt], axis=2).reshape(c, 2 * th, wp)
+        # row-duplicate to window space: (C, th, W) -> (C, 2*th, W)
+        yd = jnp.stack([ywt, ywt], axis=2).reshape(c, 2 * th, w)
+        gd = jnp.stack([gwt, gwt], axis=2).reshape(c, 2 * th, w)
         a0 = x_ref[0, :, 2 * t, :, :].astype(jnp.float32)
         a1 = x_ref[0, :, 2 * t + 1, :, :].astype(jnp.float32)
         m0 = (a0 == yd).astype(jnp.float32)
         m1 = (a1 == yd).astype(jnp.float32)
         # window count: sum d-pair, h-pair (reshape), then W pairs via
-        # the pairing-matrix dot (cnt lands duplicated at every lane)
-        s = (m0 + m1).reshape(c, th, 2, wp)
-        s = s[:, :, 0, :] + s[:, :, 1, :]  # (C, th, WP)
-        cnt = jax.lax.dot_general(
-            s.reshape(c * th, wp), pair,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(c, th, wp)
-        cd = jnp.stack([cnt, cnt], axis=2).reshape(c, 2 * th, wp)
-        scale = gd / cd
-        dx_ref[0, :, 2 * t, :, :] = (m0 * scale)[:, :, :w].astype(dx_ref.dtype)
-        dx_ref[0, :, 2 * t + 1, :, :] = (m1 * scale)[:, :, :w].astype(
-            dx_ref.dtype
+        # two lane rolls + parity select: cnt[l] = s[l] + s[l^1]. Lane 0
+        # (even) selects the LEFT-roll and lane W-1 (odd) the RIGHT-roll,
+        # so wrap values are never chosen.
+        s = (m0 + m1).reshape(c, th, 2, w)
+        s = s[:, :, 0, :] + s[:, :, 1, :]  # (C, th, W)
+        s2 = s.reshape(c * th, w)
+        nb = jnp.where(
+            parity == 0,
+            pltpu.roll(s2, w - 1, axis=1),  # s[l+1]
+            pltpu.roll(s2, 1, axis=1),  # s[l-1]
         )
+        cnt = (s2 + nb).reshape(c, th, w)
+        cd = jnp.stack([cnt, cnt], axis=2).reshape(c, 2 * th, w)
+        scale = gd / cd
+        dx_ref[0, :, 2 * t, :, :] = (m0 * scale).astype(dx_ref.dtype)
+        dx_ref[0, :, 2 * t + 1, :, :] = (m1 * scale).astype(dx_ref.dtype)
 
 
 def _bwd_tiles(c: int, d: int, h: int, w: int):
@@ -109,28 +196,19 @@ def _bwd_tiles(c: int, d: int, h: int, w: int):
     th = next((t for t in (8, 4, 2) if (h // 2) % t == 0), None)
     if th is None:
         return None
-    # VMEM: x + dx tiles are the big ones: 2 * C*2td*2th*WP * 2B
-    wp = -(-w // 128) * 128
-    if c * (2 * td) * (2 * th) * wp * 2 * 2 > 8 * 2**20:
+    # VMEM: x + dx tiles are the big ones: 2 * C*2td*2th*W * 2B
+    if c * (2 * td) * (2 * th) * w * 2 * 2 > 8 * 2**20:
         return None
     return td, th
 
 
 def _pool_bwd_pallas(x, y, g, td, th):
     b, c, d, h, w = x.shape
-    wp = -(-w // 128) * 128  # inputs lane-padded to the tile multiple
-    xp = jnp.pad(x, ((0, 0),) * 4 + ((0, wp - w),))
     yw = jnp.repeat(y, 2, axis=-1)  # (B, C, d/2, h/2, W): W-duplicated
     gw = jnp.repeat(g, 2, axis=-1)
-    yw = jnp.pad(yw, ((0, 0),) * 4 + ((0, wp - w),))
-    gw = jnp.pad(gw, ((0, 0),) * 4 + ((0, wp - w),))
-    kernel = partial(_bwd_kernel, c=c, td=td, th=th, w=w, wp=wp)
+    kernel = partial(_bwd_kernel, c=c, td=td, th=th, w=w)
     half = pl.BlockSpec(
-        (1, c, td, th, wp), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
-        memory_space=pltpu.VMEM,
-    )
-    full_p = pl.BlockSpec(
-        (1, c, 2 * td, 2 * th, wp), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+        (1, c, td, th, w), lambda bb, dd, hh: (bb, 0, dd, hh, 0),
         memory_space=pltpu.VMEM,
     )
     full = pl.BlockSpec(
@@ -140,25 +218,25 @@ def _pool_bwd_pallas(x, y, g, td, th):
     return pl.pallas_call(
         kernel,
         grid=(b, d // (2 * td), h // (2 * th)),
-        in_specs=[full_p, half, half],
+        in_specs=[full, half, half],
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-        interpret=jax.default_backend() != "tpu",
-    )(xp, yw, gw)
+        interpret=_interpret(),
+    )(x, yw, gw)
 
 
 @jax.custom_vjp
 def max_pool2x_cf(x: jax.Array) -> jax.Array:
-    """2x stride-2 max pool on (B, C, D, H, W) with the Pallas backward
-    (where supported — even extents, W >= 48; XLA autodiff otherwise)."""
-    return _pool_fwd_xla(x)
+    """2x stride-2 max pool on (B, C, D, H, W) with Pallas kernels
+    (where supported — even extents, W >= 48; XLA chain otherwise)."""
+    return _pool_fwd(x)
 
 
 def _pool_fwd_rule(x):
-    y = _pool_fwd_xla(x)
+    y = _pool_fwd(x)
     return y, (x, y)
 
 

@@ -7,7 +7,6 @@ tie gradients use equal shares (divergence documented in ops/pool.py).
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -66,3 +65,23 @@ def test_backward_bf16():
     # 3=D-inner, 5=H-inner, 7=W-inner of the (.., 2, 2, 4, 2, 24, 2) split)
     gs = np.asarray(g, np.float32).reshape(1, 4, 2, 2, 4, 2, 24, 2).sum(axis=(3, 5, 7))
     np.testing.assert_allclose(gs, 1.0, atol=0.05)  # dx rounds to bf16
+
+def test_fwd_kernel_tie_and_bf16():
+    """The Pallas forward (default where _fwd_tiles allows — A/B-measured
+    win, docs/PERFORMANCE.md "Round 3 pool A/B") matches the XLA chain
+    bit-exactly, including repeated values and bf16 inputs."""
+    from multimodal_segmentation_project_tpu.ops.pool import _fwd_tiles
+
+    assert _fwd_tiles(8, 16, 48) is not None
+    assert _fwd_tiles(8, 16, 40) is None  # w < 48 keeps the XLA chain
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(-3, 3, size=(1, 2, 4, 16, 64)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool2x_cf(x)), np.asarray(max_pool_cf(x))
+    )
+    xb = x.astype(jnp.bfloat16)
+    out = max_pool2x_cf(xb)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(max_pool_cf(xb), np.float32)
+    )
