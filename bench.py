@@ -328,10 +328,21 @@ def main() -> None:
     except Exception as e:  # never let the secondary metric kill the bench
         details["train_end_to_end_error"] = str(e)[:200]
 
-    with open(
-        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"), "w"
-    ) as f:
-        json.dump(details, f, indent=2)
+    # Merge onto the existing file: secondary harnesses (e.g.
+    # scripts/bench/bench256.py) record their own keys there and an
+    # official re-run must not clobber them.
+    details_path = os.path.join(
+        os.path.dirname(__file__) or ".", "BENCH_DETAILS.json"
+    )
+    merged = {}
+    try:
+        with open(details_path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged.update(details)
+    with open(details_path, "w") as f:
+        json.dump(merged, f, indent=2)
 
     print(
         json.dumps(
