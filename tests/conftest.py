@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Stability: long full-suite runs intermittently died with a silent
+# SIGABRT inside EAGER (unjitted) CPU dispatch of tiny ops late in the
+# suite (always an eval-mode model.apply probe after a long jitted
+# loop; every individual file passes). Running eager computations
+# inline instead of through the async dispatch thread pool removes the
+# implicated path; jitted computations are unaffected.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -12,7 +12,15 @@ from multimodal_segmentation_project_tpu.data.nifti import load_nifti, save_nift
 
 @pytest.fixture(scope="module", autouse=True)
 def build_lib():
-    subprocess.run(["make", "-C", "runtime"], check=True, capture_output=True)
+    # -B: unconditional rebuild (single ~1s translation unit). A plain
+    # `make` once shipped a STALE .so here — git checkout restores
+    # identical mtimes on the .cpp and a previously-built .so, so
+    # mtime-based make considered a pre-fix binary fresh and the suite
+    # exercised old native code.
+    subprocess.run(["make", "-C", "runtime", "-B"], check=True, capture_output=True)
+    # drop any handle dlopen'd by an earlier test module: the rebuild
+    # writes a new inode, so re-CDLL picks up the fresh code
+    native._lib = None
     assert native.available(), "native library failed to build/load"
 
 

@@ -265,7 +265,12 @@ def test_training_convergence_dice_parity_with_torch():
 
     for _ in range(steps):
         params, stats = step(params, stats)
-    final_j = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    # jitted eval probe (the production eval path is jitted too): eager
+    # full-model applies after long jitted loops were the recurring
+    # SIGABRT site of the suite-stability issue (see tests/conftest.py)
+    final_j = jax.jit(lambda p, s: model.apply(
+        {"params": p, "batch_stats": s}, x, train=False
+    ))(params, stats)
     dice_jax = float(calculate_dice(final_j, y))
 
     # CE on this tiny fixture (two 2^3 foreground corners) caps macro
@@ -384,9 +389,10 @@ def test_training_convergence_production_recipe_parity_with_torch():
     y = jnp.asarray(labels.astype(np.int32))
     for i in range(steps):
         state, metrics = step(state, x, y, jax.random.key(i))
-    final_j = model.apply(
-        {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
-    )
+    # jitted eval probe — see the note in the CE/SGD convergence test
+    final_j = jax.jit(lambda p, s: model.apply(
+        {"params": p, "batch_stats": s}, x, train=False
+    ))(state.params, state.batch_stats)
     dice_jax = float(calculate_dice(final_j, y))
 
     assert dice_jax > 0.25, f"training failed to converge (dice={dice_jax})"
