@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--size", type=int, default=192)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--trace-dir", default="/tmp/step_trace")
+    ap.add_argument("--top", type=int, default=60)
     args = ap.parse_args()
 
     state, step = build_step()
@@ -106,10 +107,21 @@ def main():
         and ev.get("name") == "process_name"
         and re.search(r"tpu|device|/device:", str(ev.get("args", {}).get("name", "")), re.I)
     }
+    # leaf XLA ops only: drop container events (the jit_* wrapper and
+    # the bare-numeric per-step module events that re-count the whole
+    # step) so buckets sum to the step time instead of 3x it
+    meta = re.compile(r"^(jit_|\d+$)")
     per_op = collections.Counter()
+    long_of = {}
     for ev in tr["traceEvents"]:
         if ev.get("ph") == "X" and ev.get("pid") in pids and "dur" in ev:
+            if meta.match(ev["name"]):
+                continue
             per_op[ev["name"]] += ev["dur"]
+            a = ev.get("args") or {}
+            ln = a.get("long_name") or a.get("tf_op") or a.get("hlo_op") or ""
+            if ln and ev["name"] not in long_of:
+                long_of[ev["name"]] = str(ln)
     buckets = collections.Counter()
     for name, dur in per_op.items():
         buckets[bucket_of(name)] += dur
@@ -122,8 +134,8 @@ def main():
             for k, v in buckets.most_common()
         },
     }))
-    for name, dur in per_op.most_common(25):
-        print(f"{dur / 1e3 / n:8.2f} ms  {name[:110]}")
+    for name, dur in per_op.most_common(args.top):
+        print(f"{dur / 1e3 / n:8.2f} ms  {name[:60]:60s}  {long_of.get(name, '')[:120]}")
 
 
 if __name__ == "__main__":
