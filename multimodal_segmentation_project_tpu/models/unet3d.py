@@ -121,6 +121,14 @@ class PallasConv3(nn.Module):
             # activated intermediate never touches HBM. Single-device
             # Pallas path only (DoubleConv gates it).
             a, t = prologue
+            if return_stats:
+                from multimodal_segmentation_project_tpu.ops.pallas_conv import (
+                    conv3x3x3_cf_boundary_stats,
+                )
+
+                return conv3x3x3_cf_boundary_stats(
+                    x.astype(self.dtype), kernel, bias, a, t
+                )
             return conv3x3x3_cf_boundary(x.astype(self.dtype), kernel, bias, a, t)
         if return_stats:
             # fused conv + per-channel output stats (single-device path;
@@ -269,12 +277,23 @@ class DoubleConv(nn.Module):
                 self.make_rng("dropout"), keep, (bdim, feats)
             ).astype(jnp.float32) / keep
             a_bc, t_bc = a_bc * m0, t_bc * m0
-        y1 = PallasConv3(feats, self.dtype, name="conv1")(
-            y0, prologue=(a_bc, t_bc)
-        )
-        y1f = y1.astype(jnp.float32)
-        s11 = jnp.sum(y1f, axis=(0, 2, 3, 4))
-        s21 = jnp.sum(y1f * y1f, axis=(0, 2, 3, 4))
+        import os as _os
+
+        if _os.environ.get("MMSEG_BOUNDARY_STATS", "1") != "0":
+            # conv1's per-channel (sum, sumsq) accumulate inside the
+            # kernel too, so bn1's stats pass never re-reads the volume
+            # (A/B flag MMSEG_BOUNDARY_STATS during measurement)
+            y1, s11, s21 = PallasConv3(feats, self.dtype, name="conv1")(
+                y0, prologue=(a_bc, t_bc), return_stats=True
+            )
+            y1f = y1.astype(jnp.float32)
+        else:
+            y1 = PallasConv3(feats, self.dtype, name="conv1")(
+                y0, prologue=(a_bc, t_bc)
+            )
+            y1f = y1.astype(jnp.float32)
+            s11 = jnp.sum(y1f, axis=(0, 2, 3, 4))
+            s21 = jnp.sum(y1f * y1f, axis=(0, 2, 3, 4))
         a1, t1 = BatchNormCF(name="bn1")(y1, s11, s21, return_affine=True)
         z = jnp.maximum(
             y1f * a1.reshape(1, -1, 1, 1, 1) + t1.reshape(1, -1, 1, 1, 1), 0.0

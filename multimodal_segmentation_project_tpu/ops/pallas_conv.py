@@ -885,6 +885,166 @@ def _boundary_bwd_rule(res, g):
 conv3x3x3_cf_boundary.defvjp(_boundary_fwd_rule, _boundary_bwd_rule)
 
 
+def _fwd_prologue_stats_kernel(
+    x_ref, w_ref, a_ref, t_ref, b_ref, out_ref, stats_ref, xtile, panel,
+    dma_sem, *, cin, cout, td, th, w_dim, wp, n_ht, n_d, D, H,
+):
+    """Boundary prologue + bias + fused per-channel output statistics:
+    the merge of _fwd_prologue_kernel and _fwd_stats_kernel, so the
+    SECOND BatchNorm of a fused DoubleConv never re-reads the volume
+    for its stats pass either. Bias is added in fp32 before the cast so
+    the stats see exactly the tensor BN normalizes."""
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    dt, ht = pl.program_id(1), pl.program_id(2)
+    _prologue_tile(
+        xtile, slot, a_ref[0], t_ref[0],
+        cin=cin, td=td, th=th, wp=wp,
+        d0=dt * td, h0=ht * th, D=D, H=H, W=w_dim,
+    )
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        acc, acc1, acc2 = _kw_dots(w_ref, panel[:], cout)
+        acc = (
+            acc
+            + pltpu.roll(acc1, n - 1, axis=1)
+            + pltpu.roll(acc2, n - 2, axis=1)
+        )
+        acc = acc + b_ref[:]
+        y_bf = acc.reshape(cout, th, wp)[:, :, :w_dim].astype(out_ref.dtype)
+        out_ref[0, :, t, :, :] = y_bf
+        yf = y_bf.astype(jnp.float32)
+        s1 = jnp.sum(jnp.sum(yf, axis=2), axis=1, keepdims=True)
+        s2 = jnp.sum(jnp.sum(yf * yf, axis=2), axis=1, keepdims=True)
+        s12 = jnp.concatenate([s1, s2], axis=1)  # (cout, 2)
+        if t == 0:
+
+            @pl.when(first)
+            def _():
+                stats_ref[:] = s12
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                stats_ref[:] = stats_ref[:] + s12
+
+        else:
+            stats_ref[:] = stats_ref[:] + s12
+
+
+def _conv_boundary_apply_stats(xp, w_packed, a, t, bias, cout, w_dim):
+    b, cin = xp.shape[0], xp.shape[1]
+    d, h = xp.shape[2] - 2, xp.shape[3] - 8
+    wp = xp.shape[-1]
+    td = _pick_tile_d(d, cin)
+    th = _pick_tile_h(h, cin, wp)
+    n_dt, n_ht = d // td, h // th
+    kernel = partial(
+        _fwd_prologue_stats_kernel, cin=cin, cout=cout, td=td, th=th,
+        w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=n_dt, D=d, H=h,
+    )
+    a3 = a.astype(jnp.float32).reshape(b, cin, 1)
+    t3 = t.astype(jnp.float32).reshape(b, cin, 1)
+    scalar_spec = pl.BlockSpec(
+        (1, cin, 1), lambda bb, dd, hh: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_dt, n_ht),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            scalar_spec,
+            scalar_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (cout, 1) fp32
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, cout, td, th, w_dim),
+                lambda bb, dd, hh: (bb, 0, dd, hh, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cout, 2), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, cout, d, h, w_dim), xp.dtype),
+            jax.ShapeDtypeStruct((cout, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), xp.dtype),
+            pltpu.VMEM((9 * cin, th * wp), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xp, w_packed, a3, t3, bias)
+
+
+def _boundary_stats_forward(x, w, b, a, t):
+    cout = w.shape[4]
+    xp = _pad_for_kernel(x)
+    w_packed = pack_weights(w).astype(x.dtype)
+    out, stats = _conv_boundary_apply_stats(
+        xp, w_packed, a, t, b.astype(jnp.float32).reshape(cout, 1),
+        cout, x.shape[-1],
+    )
+    return out, stats[:, 0], stats[:, 1]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def conv3x3x3_cf_boundary_stats(
+    x: jax.Array, w: jax.Array, b: jax.Array, a: jax.Array, t: jax.Array
+):
+    """conv3x3x3_cf_boundary + fused per-channel output statistics.
+
+    Returns ``(y, s1, s2)`` with ``y = conv(relu(x*a + t)) + b`` and
+    ``(s1, s2)`` the per-channel (sum, sumsq) of y accumulated inside
+    the forward kernel — the fused DoubleConv's second BatchNorm
+    consumes them instead of re-reading the full volume (a measured
+    ~1.3-1.9 ms convert+reduce per 192^3 C=16 conv). The stats
+    cotangents fold into an effective output gradient
+    ``g + gs1 + 2*y*gs2``; the rest of the backward is the boundary
+    op's (dx-epilogue kernel + prologue dw kernel)."""
+    return _boundary_stats_forward(x, w, b, a, t)
+
+
+def _boundary_stats_fwd_rule(x, w, b, a, t):
+    y, s1, s2 = _boundary_stats_forward(x, w, b, a, t)
+    return (y, s1, s2), (x, w, a, t, y)
+
+
+def _boundary_stats_bwd_rule(res, cts):
+    x, w, a, t, y = res
+    g, gs1, gs2 = cts
+    cin, cout = w.shape[3], w.shape[4]
+    g_eff = (
+        g.astype(jnp.float32)
+        + gs1.reshape(1, -1, 1, 1, 1)
+        + 2.0 * y.astype(jnp.float32) * gs2.reshape(1, -1, 1, 1, 1)
+    ).astype(g.dtype)
+    pg = _pad_for_kernel(g_eff)
+    w_flip = w[::-1, ::-1, ::-1, :, :]
+    wt_packed = pack_weights(jnp.transpose(w_flip, (0, 1, 2, 4, 3))).astype(
+        g_eff.dtype
+    )
+    dx, da, dt_ = _conv_dx_epilogue(pg, wt_packed, x, a, t)
+    xp = _pad_for_kernel(x)
+    dw = unpack_weight_grads(
+        _conv_dw_prologue(xp, pg, a, t, cout, g.shape[-1]), cin, cout
+    ).astype(w.dtype)
+    db = jnp.sum(g_eff.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
+    return dx, dw, db, da.astype(a.dtype), dt_.astype(t.dtype)
+
+
+conv3x3x3_cf_boundary_stats.defvjp(
+    _boundary_stats_fwd_rule, _boundary_stats_bwd_rule
+)
+
+
 def conv3x3x3_cf_reference(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """XLA reference implementation (for tests / non-TPU fallback)."""
     out = jax.lax.conv_general_dilated(

@@ -130,6 +130,50 @@ def test_boundary_gradient_parity(rng):
         )
 
 
+def test_boundary_stats_parity(rng):
+    """conv3x3x3_cf_boundary_stats == (conv(relu(x*a+t)) + b, per-channel
+    sum/sumsq of that output) — forward and full VJP including the
+    stats cotangent fold (g + gs1 + 2*y*gs2)."""
+    bdim, cin, cout = 2, 4, 8
+    x = jnp.asarray(rng.normal(size=(bdim, cin, 4, 8, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(bdim, cin)) + 1.0, jnp.float32)
+    t = jnp.asarray(np.abs(rng.normal(size=(bdim, cin))), jnp.float32)
+
+    y, s1, s2 = pc.conv3x3x3_cf_boundary_stats(x, w, b, a, t)
+    r = jnp.maximum(x * a[:, :, None, None, None] + t[:, :, None, None, None], 0.0)
+    yr = pc.conv3x3x3_cf_reference(r, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(jnp.sum(yr, axis=(0, 2, 3, 4))), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(jnp.sum(yr * yr, axis=(0, 2, 3, 4))), rtol=1e-4
+    )
+
+    def loss_fused(x, w, b, a, t):
+        y, s1, s2 = pc.conv3x3x3_cf_boundary_stats(x, w, b, a, t)
+        # touch all three outputs so every cotangent path is exercised
+        return jnp.sum(y**2) + jnp.sum(s1 * s2) + jnp.sum(s1**2)
+
+    def loss_ref(x, w, b, a, t):
+        r = jnp.maximum(x * a[:, :, None, None, None] + t[:, :, None, None, None], 0.0)
+        y = pc.conv3x3x3_cf_reference(r, w, b)
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, axis=(0, 2, 3, 4))
+        s2 = jnp.sum(yf * yf, axis=(0, 2, 3, 4))
+        return jnp.sum(y**2) + jnp.sum(s1 * s2) + jnp.sum(s1**2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w, b, a, t)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w, b, a, t)
+    for name, u, v in zip(("dx", "dw", "db", "da", "dt"), gf, gr):
+        scale = max(float(jnp.max(jnp.abs(v))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u) / scale, np.asarray(v) / scale, atol=2e-4, err_msg=name
+        )
+
+
 def test_fused_boundary_doubleconv_parity(rng):
     """The fused DoubleConv (conv+stats -> BN affine -> prologue conv,
     the training-mode pallas default) matches the unfused XLA training
