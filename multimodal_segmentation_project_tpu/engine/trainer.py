@@ -517,7 +517,7 @@ class Trainer:
             epoch_time = time.time() - epoch_start
             self._log_epoch(epoch, epoch_time, train_metrics, val_metrics)
             if jax.process_index() == 0:
-                log_device_usage(self.device_log)
+                log_device_usage(self.device_log, tag=f"epoch={epoch + 1}")
 
             if (epoch + 1) % cfg.checkpoint_every == 0:
                 name = f"{cfg.ckpt_prefix}_epoch{epoch + 1}_{cfg.experiment_name}.msgpack"

@@ -64,11 +64,17 @@ def write_config(path: str, args) -> None:
             f.write(f"{k}: {v}\n")
 
 
-def log_device_usage(log_file: str) -> None:
-    """Append per-device memory stats (TPU analog of the nvidia-smi dump)."""
+def log_device_usage(log_file: str, tag: str = "") -> None:
+    """Append per-device memory stats (TPU analog of the nvidia-smi dump).
+
+    Called once at experiment start and once per epoch by the Trainer
+    (engine/trainer.py), matching the reference's gpu_usage.log role
+    (train_unet.py:173-176,251-252: nvidia-smi every 10 batches).
+    ``tag`` labels the row (e.g. ``epoch=3``)."""
     import jax
 
-    lines = [datetime.now().isoformat()]
+    head = datetime.now().isoformat()
+    lines = [f"{head} {tag}".rstrip()]
     for d in jax.local_devices():
         try:
             stats = d.memory_stats() or {}

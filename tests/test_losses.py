@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from multimodal_segmentation_project_tpu.ops import losses
 
+pytestmark = pytest.mark.smoke
+
 
 # ---------- numpy oracles (vectorized, channel-last internally) ----------
 

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from multimodal_segmentation_project_tpu.ops import metrics
 
+pytestmark = pytest.mark.smoke
+
 
 def np_macro_dice_iou(pred, labels, num_classes=4, eps=1e-5):
     dices, ious = [], []

@@ -18,6 +18,7 @@ def case(rng):
     return x, w, b
 
 
+@pytest.mark.smoke
 def test_forward_parity(case):
     x, w, b = case
     out = pc.conv3x3x3_cf(x, w, b)
@@ -25,6 +26,7 @@ def test_forward_parity(case):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_gradient_parity(case):
     x, w, b = case
     loss_p = lambda x, w, b: jnp.sum(pc.conv3x3x3_cf(x, w, b) ** 2)

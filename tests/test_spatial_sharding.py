@@ -69,6 +69,7 @@ def test_unet_forward_parity_under_spatial_sharding(n_spatial, conv_impl):
     np.testing.assert_allclose(got, np.asarray(ref), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("n_spatial", [2, 4])
 @pytest.mark.parametrize("conv_impl", ["xla", "pallas"])
 def test_unet_grad_parity_under_spatial_sharding(n_spatial, conv_impl):

@@ -56,6 +56,7 @@ def small_cfg(tmp_path, name, **kw):
     return TrainerConfig(**base)
 
 
+@pytest.mark.smoke
 def test_baseline_trainer_end_to_end(tmp_path):
     cfg = small_cfg(tmp_path, "exp_test", use_scheduler=True, augment=True)
     t = Trainer(cfg, BlobDataset(4), BlobDataset(2, seed=1))
@@ -73,6 +74,11 @@ def test_baseline_trainer_end_to_end(tmp_path):
         lines = f.read().strip().splitlines()
     assert lines[0].split(",") == Trainer.CSV_COLUMNS
     assert len(lines) == 3  # header + 2 epochs
+    # per-epoch device telemetry (reference gpu_usage.log analog,
+    # train_unet.py:173-176): one startup row + one tagged row per epoch
+    with open(os.path.join(root, "logs", "device_usage.log")) as f:
+        dev_log = f.read()
+    assert dev_log.count("epoch=1") == 1 and dev_log.count("epoch=2") == 1
 
 
 def test_trainer_resume(tmp_path):
