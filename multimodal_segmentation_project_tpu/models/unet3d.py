@@ -277,23 +277,16 @@ class DoubleConv(nn.Module):
                 self.make_rng("dropout"), keep, (bdim, feats)
             ).astype(jnp.float32) / keep
             a_bc, t_bc = a_bc * m0, t_bc * m0
-        import os as _os
-
-        if _os.environ.get("MMSEG_BOUNDARY_STATS", "1") != "0":
-            # conv1's per-channel (sum, sumsq) accumulate inside the
-            # kernel too, so bn1's stats pass never re-reads the volume
-            # (A/B flag MMSEG_BOUNDARY_STATS during measurement)
-            y1, s11, s21 = PallasConv3(feats, self.dtype, name="conv1")(
-                y0, prologue=(a_bc, t_bc), return_stats=True
-            )
-            y1f = y1.astype(jnp.float32)
-        else:
-            y1 = PallasConv3(feats, self.dtype, name="conv1")(
-                y0, prologue=(a_bc, t_bc)
-            )
-            y1f = y1.astype(jnp.float32)
-            s11 = jnp.sum(y1f, axis=(0, 2, 3, 4))
-            s21 = jnp.sum(y1f * y1f, axis=(0, 2, 3, 4))
+        # conv1's per-channel (sum, sumsq) accumulate inside the kernel
+        # too, so bn1's stats pass never re-reads the volume. A/B on the
+        # real chip (round 4, 10-iter distinct-input runs): 6.7167 vs
+        # 6.7163 samples/s with a separate XLA stats reduce — neutral on
+        # the full step (XLA piggybacks the reduce on the y1f convert
+        # pass); kept fused as the structurally simpler graph.
+        y1, s11, s21 = PallasConv3(feats, self.dtype, name="conv1")(
+            y0, prologue=(a_bc, t_bc), return_stats=True
+        )
+        y1f = y1.astype(jnp.float32)
         a1, t1 = BatchNormCF(name="bn1")(y1, s11, s21, return_affine=True)
         z = jnp.maximum(
             y1f * a1.reshape(1, -1, 1, 1, 1) + t1.reshape(1, -1, 1, 1, 1), 0.0

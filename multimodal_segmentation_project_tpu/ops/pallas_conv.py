@@ -94,24 +94,59 @@ def _kw_dots(w_ref, p, cout: int):
     return accs[:cout], accs[cout : 2 * cout], accs[2 * cout :]
 
 
-def _pick_tile_d(d: int, cin: int) -> int:
+# Scoped VMEM is 16 MB; budget 12 MB for the explicitly-allocated
+# scratch so Mosaic's own temporaries (dot accumulators, copy staging)
+# keep headroom. Round-3 shipped static per-Cin TD caps; the budget
+# formulas below replace them (round 4) because the static caps forced
+# (td+2)/td = 2-3x input over-fetch on the wide-Cin convs at 192^3
+# where the actual scratch had megabytes to spare.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _fwd_vmem_bytes(
+    cin: int, td: int, th: int, wp: int, itemsize: int,
+    block_ch: int = 0, n_blocks: int = 1,
+) -> int:
+    """Scratch bytes of a forward-shaped kernel: double-buffered haloed
+    input tile + im2col panel, plus ``n_blocks`` pipelined VMEM blocks
+    of ``block_ch`` channels (the output tile; the dx-epilogue kernel
+    adds a raw-x input block)."""
+    tile = 2 * cin * (td + 2) * (th + 8) * wp
+    panel = 9 * cin * th * wp
+    blocks = 2 * n_blocks * block_ch * td * th * wp
+    return (tile + panel + blocks) * itemsize
+
+
+def _dw_vmem_bytes(cin: int, cout: int, td: int, th: int, wp: int, itemsize: int) -> int:
+    """Scratch bytes of the dw kernel: two double-buffered haloed tiles
+    (x and the padded cotangent), the x panel, the 3-stacked cotangent
+    block, and the fp32 accumulator."""
+    tiles = 2 * (cin + cout) * (td + 2) * (th + 8) * wp
+    panels = (9 * cin + 3 * cout) * th * wp
+    return (tiles + panels) * itemsize + 9 * cin * 3 * cout * 4
+
+
+def _pick_tile_d(
+    d: int, cin: int, th: int, wp: int, itemsize: int = 2,
+    block_ch: int = 0, n_blocks: int = 1,
+) -> int:
     """Depth tile: computing TD output planes per grid step reuses the
     loaded halo planes (each input plane is read (TD+2)/TD times instead
-    of 3 times), halving DMA traffic at TD=4. Wide-Cin convs use TD=2 to
-    stay inside the 16 MB scoped-VMEM budget."""
-    cap = 4 if cin <= 32 else 2
-    for td in (cap, 2, 1):
-        if d % td == 0 and td <= cap:
+    of 3 times). Largest TD whose scratch fits the VMEM budget wins —
+    A/B-measured on the real chip (docs/PERFORMANCE.md round 4)."""
+    for td in (8, 4, 2, 1):
+        if d % td == 0 and _fwd_vmem_bytes(
+            cin, td, th, wp, itemsize, block_ch, n_blocks
+        ) <= _VMEM_BUDGET:
             return td
     return 1
 
 
-def _pick_tile_d_dw(d: int, cin: int) -> int:
-    """The dw kernel's fp32 accumulator + dot stack is heavier than the
-    forward's; wide-Cin convs stay at TD=1 to fit scoped VMEM."""
-    cap = 4 if cin <= 16 else (2 if cin <= 32 else 1)
-    for td in (cap, 2, 1):
-        if d % td == 0 and td <= cap:
+def _pick_tile_d_dw(d: int, cin: int, cout: int, th: int, wp: int, itemsize: int = 2) -> int:
+    """dw depth tile, budget-driven like :func:`_pick_tile_d` (the dw
+    kernel streams TWO haloed tiles, so its budget formula differs)."""
+    for td in (8, 4, 2, 1):
+        if d % td == 0 and _dw_vmem_bytes(cin, cout, td, th, wp, itemsize) <= _VMEM_BUDGET:
             return td
     return 1
 
@@ -294,8 +329,9 @@ def _fwd_stats_kernel(
 
 
 def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype, with_stats=False):
-    td = _pick_tile_d(d, cin)
+    it = jnp.dtype(dtype).itemsize
     th = _pick_tile_h(h, cin, wp)
+    td = _pick_tile_d(d, cin, th, wp, it, block_ch=cout)
     n_dt = d // td
     n_ht = h // th
     kfn = _fwd_stats_kernel if with_stats else _fwd_kernel
@@ -410,8 +446,8 @@ def _conv_dw_shared(xp: jax.Array, pg: jax.Array, cout: int) -> jax.Array:
     b, cin = xp.shape[0], xp.shape[1]
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
-    td = _pick_tile_d_dw(d, cin)
     th = _pick_tile_h(h, cin, wp)
+    td = _pick_tile_d_dw(d, cin, cout, th, wp, xp.dtype.itemsize)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _dw_kernel_shared, cin=cin, cout=cout, td=td, th=th, wp=wp,
@@ -608,8 +644,8 @@ def _conv_boundary_apply(xp, w_packed, a, t, cout, w_dim):
     b, cin = xp.shape[0], xp.shape[1]
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
-    td = _pick_tile_d(d, cin)
     th = _pick_tile_h(h, cin, wp)
+    td = _pick_tile_d(d, cin, th, wp, xp.dtype.itemsize, block_ch=cout)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _fwd_prologue_kernel, cin=cin, cout=cout, td=td, th=th,
@@ -694,8 +730,8 @@ def _conv_dw_prologue(xp, pg, a, t, cout, w_dim):
     b, cin = xp.shape[0], xp.shape[1]
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
-    td = _pick_tile_d_dw(d, cin)
     th = _pick_tile_h(h, cin, wp)
+    td = _pick_tile_d_dw(d, cin, cout, th, wp, xp.dtype.itemsize)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _dw_kernel_prologue, cin=cin, cout=cout, td=td, th=th, wp=wp,
@@ -785,8 +821,10 @@ def _conv_dx_epilogue(pg, wt_packed, x, a, t):
     b, cin, d, h, w_dim = x.shape
     cout_g = pg.shape[1]
     wp = pg.shape[-1]
-    td = _pick_tile_d(d, cout_g)
     th = _pick_tile_h(h, cout_g, wp)
+    td = _pick_tile_d(
+        d, cout_g, th, wp, pg.dtype.itemsize, block_ch=cin, n_blocks=2
+    )
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _dx_epilogue_kernel, cout_g=cout_g, cin=cin, td=td, th=th,
@@ -936,8 +974,8 @@ def _conv_boundary_apply_stats(xp, w_packed, a, t, bias, cout, w_dim):
     b, cin = xp.shape[0], xp.shape[1]
     d, h = xp.shape[2] - 2, xp.shape[3] - 8
     wp = xp.shape[-1]
-    td = _pick_tile_d(d, cin)
     th = _pick_tile_h(h, cin, wp)
+    td = _pick_tile_d(d, cin, th, wp, xp.dtype.itemsize, block_ch=cout)
     n_dt, n_ht = d // td, h // th
     kernel = partial(
         _fwd_prologue_stats_kernel, cin=cin, cout=cout, td=td, th=th,
@@ -1004,11 +1042,14 @@ def conv3x3x3_cf_boundary_stats(
     Returns ``(y, s1, s2)`` with ``y = conv(relu(x*a + t)) + b`` and
     ``(s1, s2)`` the per-channel (sum, sumsq) of y accumulated inside
     the forward kernel — the fused DoubleConv's second BatchNorm
-    consumes them instead of re-reading the full volume (a measured
-    ~1.3-1.9 ms convert+reduce per 192^3 C=16 conv). The stats
-    cotangents fold into an effective output gradient
-    ``g + gs1 + 2*y*gs2``; the rest of the backward is the boundary
-    op's (dx-epilogue kernel + prologue dw kernel)."""
+    consumes them instead of re-reading the volume with a standalone
+    reduce. A/B on the real chip (round 4): NEUTRAL on the full train
+    step vs an unfused XLA stats reduce (6.7167 vs 6.7163 samples/s) —
+    XLA piggybacks that reduce on the fp32 convert pass the BN apply
+    needs anyway; the fusion is kept for the simpler graph, not a
+    measured step win. The stats cotangents fold into an effective
+    output gradient ``g + gs1 + 2*y*gs2``; the rest of the backward is
+    the boundary op's (dx-epilogue kernel + prologue dw kernel)."""
     return _boundary_stats_forward(x, w, b, a, t)
 
 
