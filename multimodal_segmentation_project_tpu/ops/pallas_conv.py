@@ -114,7 +114,15 @@ def _fwd_vmem_bytes(
     tile = 2 * cin * (td + 2) * (th + 8) * wp
     panel = 9 * cin * th * wp
     blocks = 2 * n_blocks * block_ch * td * th * wp
-    return (tile + panel + blocks) * itemsize
+    # the unrolled plane loop stacks each iteration's fp32 kw-dot
+    # accumulator stack (measured ~2x the M = 3*block_ch result rows
+    # with its slices and rolls) on the Mosaic scoped stack;
+    # priced only for wide-C convs (megabyte-scale there, and the
+    # small-C picks below 64 channels are real-chip-validated without
+    # this term — see docs/PERFORMANCE.md round 4)
+    wide = cin > 64 or block_ch > 64
+    temps = td * 6 * block_ch * th * wp * 4 if wide else 0
+    return (tile + panel + blocks) * itemsize + temps
 
 
 def _dw_vmem_bytes(cin: int, cout: int, td: int, th: int, wp: int, itemsize: int) -> int:
@@ -123,7 +131,8 @@ def _dw_vmem_bytes(cin: int, cout: int, td: int, th: int, wp: int, itemsize: int
     block, and the fp32 accumulator."""
     tiles = 2 * (cin + cout) * (td + 2) * (th + 8) * wp
     panels = (9 * cin + 3 * cout) * th * wp
-    return (tiles + panels) * itemsize + 9 * cin * 3 * cout * 4
+    temps = td * 6 * cout * th * wp * 4 if (cin > 64 or cout > 64) else 0
+    return (tiles + panels) * itemsize + temps + 9 * cin * 3 * cout * 4
 
 
 def _pick_tile_d(
@@ -168,7 +177,16 @@ def supported_conv(cin: int, cout: int, h: int, w: int) -> bool:
     """Shapes this kernel handles; the model falls back to XLA convs
     otherwise. The cap is symmetric in cin/cout because the backward
     dx conv swaps them (its im2col panel is built from the cotangent
-    with Cout channels)."""
+    with Cout channels).
+
+    The C <= 64 cap is A/B-validated (round 4): routing the C=128
+    deep-level convs through this kernel measured 6.87 vs 6.90
+    samples/s — the XLA deep convs are already MXU-efficient, the
+    bottleneck (12^3 at 192^3 input) fails the h%8 gate regardless,
+    and the widest dw panels (9*256 rows) exceed scoped VMEM — so the
+    transposes the swap was meant to delete mostly remain. See
+    docs/PERFORMANCE.md "Measured dead ends (round 4)".
+    """
     return h % 8 == 0 and w >= 8 and cin <= 64 and cout <= 64
 
 
