@@ -93,3 +93,27 @@ def test_prefetch_to_device():
     import jax
 
     assert isinstance(out[0][0], jax.Array)
+
+
+def test_visualize_augmentations(tmp_path, rng):
+    """Augmentation visual-QA renderer (reference
+    utils/dataloader.py:262-317 analog): produces the 2x2
+    original-vs-augmented PNG from a CombinedDataset sample."""
+    img_dir = tmp_path / "synth_ct" / "images"
+    lbl_dir = tmp_path / "synth_ct" / "labels"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    lbl = np.zeros((16, 16, 16), np.int16)
+    lbl[4:10, 4:10, 4:10] = 1
+    img = lbl * 120.0 + rng.normal(0, 20, lbl.shape)
+    save_nifti(img.astype(np.float32), str(img_dir / "c0.nii.gz"))
+    save_nifti(lbl, str(lbl_dir / "c0.nii.gz"))
+    out = str(tmp_path / "aug.png")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "plotting", "visualize_augmentations.py"),
+         str(tmp_path), "--save", out, "--seed", "3", "--platform", "cpu"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
