@@ -22,7 +22,7 @@ the headline unprinted because it was the LAST thing emitted):
      try/except'd, with BENCH_DETAILS.json re-merged to disk after
      every section so a mid-secondary kill loses nothing;
   3. ``BENCH_QUICK=1`` skips all secondaries;
-  4. a global watchdog (``BENCH_WATCHDOG`` seconds, default 900)
+  4. a global watchdog (``BENCH_WATCHDOG`` seconds, default 1500)
      armed right after the headline prints force-exits 0 if a
      secondary wedges (the relay can hang without error).
 
@@ -207,7 +207,7 @@ def main() -> None:
 
     if os.environ.get("BENCH_QUICK"):
         return
-    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG", "900")))
+    _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG", "1500")))
 
     # ---- secondary: full-volume inference (test_model.py workload) ----
     try:
