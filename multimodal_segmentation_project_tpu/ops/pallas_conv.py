@@ -103,6 +103,23 @@ def _kw_dots(w_ref, p, cout: int):
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _stack_temps(td: int, m_ch: int, th: int, wp: int, max_c: int) -> int:
+    """Mosaic scoped-STACK cost of the kernels' unrolled plane loop:
+    each iteration stacks its fp32 dot temporaries (~2x the M-rows
+    result size with slices/rolls). The linear model over-prices the
+    192^3-validated shape envelope — every real-chip-benched 192^3
+    config (wp=256 only with C <= 32; wp=128 with C <= 64) compiles
+    and runs WITHOUT this term, so those shapes are exempted to keep
+    their measured-optimal td picks; everything beyond the envelope
+    (256^3-class lane widths / wider channels) pays it. Both 256^3
+    regressions that motivated this were real Mosaic stack OOMs:
+    18.71M at (32->16, wp=384, td=8) and 16.46M at the (64,32, wp=256)
+    dw, vs the 16M limit."""
+    if (wp <= 128 and max_c <= 64) or (wp <= 256 and max_c <= 32):
+        return 0
+    return td * 6 * m_ch * th * wp * 4
+
+
 def _fwd_vmem_bytes(
     cin: int, td: int, th: int, wp: int, itemsize: int,
     block_ch: int = 0, n_blocks: int = 1,
@@ -114,14 +131,7 @@ def _fwd_vmem_bytes(
     tile = 2 * cin * (td + 2) * (th + 8) * wp
     panel = 9 * cin * th * wp
     blocks = 2 * n_blocks * block_ch * td * th * wp
-    # the unrolled plane loop stacks each iteration's fp32 kw-dot
-    # accumulator stack (measured ~2x the M = 3*block_ch result rows
-    # with its slices and rolls) on the Mosaic scoped stack;
-    # priced only for wide-C convs (megabyte-scale there, and the
-    # small-C picks below 64 channels are real-chip-validated without
-    # this term — see docs/PERFORMANCE.md round 4)
-    wide = cin > 64 or block_ch > 64
-    temps = td * 6 * block_ch * th * wp * 4 if wide else 0
+    temps = _stack_temps(td, block_ch, th, wp, max(cin, block_ch))
     return (tile + panel + blocks) * itemsize + temps
 
 
@@ -131,7 +141,7 @@ def _dw_vmem_bytes(cin: int, cout: int, td: int, th: int, wp: int, itemsize: int
     block, and the fp32 accumulator."""
     tiles = 2 * (cin + cout) * (td + 2) * (th + 8) * wp
     panels = (9 * cin + 3 * cout) * th * wp
-    temps = td * 6 * cout * th * wp * 4 if (cin > 64 or cout > 64) else 0
+    temps = _stack_temps(td, cout, th, wp, max(cin, cout))
     return (tiles + panels) * itemsize + temps + 9 * cin * 3 * cout * 4
 
 

@@ -177,3 +177,82 @@ def test_fused_boundary_kernels_compile_for_tpu_target():
         pytest.skip("no TPU topology/libtpu support in this environment")
     assert out.returncode == 0, out.stdout + out.stderr
     assert "AOT_FUSED_OK" in out.stdout, out.stdout + out.stderr
+
+
+WORKER_WIDE_LANES = r"""
+import os, sys
+os.environ["MMSEG_FORCE_MOSAIC"] = "1"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax.experimental import topologies
+    topo = topologies.get_topology_desc(platform="tpu", topology_name="v5e:2x4")
+except Exception as e:
+    print("SKIP_NO_TOPOLOGY:", e)
+    sys.exit(0)
+
+from multimodal_segmentation_project_tpu.ops import pallas_conv as pc
+
+mesh = Mesh(np.array(topo.devices[:1]), ("x",))
+repl = NamedSharding(mesh, P())
+
+# The beyond-192^3 lane-width family (wp=384 at W=380): the kernels'
+# scoped-VMEM use depends only on (cin, cout, td, th, wp), not on D,
+# so a shallow volume compiles fast while exercising the exact tile
+# picks a 256^3 run would use. Round-4 regression: the budget-driven
+# td picker chose td=8 here and overflowed the Mosaic scoped stack by
+# 2.71M (the unrolled fp32 dot temps are priced only for wide-C or
+# wp > 256 shapes — this test pins that gate).
+def abs_(shape, dt=jnp.bfloat16):
+    return jax.ShapeDtypeStruct(shape, dt, sharding=repl)
+
+CASES = (
+    (32, 16, 380, "stats32"),   # 256^3 full-res stats conv (wp=384)
+    (16, 16, 380, "plain16"),   # 256^3 full-res plain conv (wp=384)
+    (64, 32, 126, "stats64"),   # 256^3 second-level dw (wp=256, C=64)
+)
+for cin, cout, W, tag in CASES:
+    x = abs_((1, cin, 8, 16, W))
+    w = abs_((3, 3, 3, cin, cout))
+    b = abs_((cout,))
+    if tag.startswith("stats"):
+        a = abs_((1, cin), jnp.float32)
+        t = abs_((1, cin), jnp.float32)
+
+        def loss(x, w, b, a, t):
+            y, s1, s2 = pc.conv3x3x3_cf_boundary_stats(x, w, b, a, t)
+            return jnp.sum(y.astype(jnp.float32) ** 2) + jnp.sum(s1) + jnp.sum(s2)
+
+        lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 3, 4))).lower(x, w, b, a, t)
+    else:
+        def loss(x, w, b):
+            return jnp.sum(pc.conv3x3x3_cf(x, w, b).astype(jnp.float32) ** 2)
+
+        lowered = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(x, w, b)
+    lowered.compile()
+    print("WIDE_LANES_OK", tag)
+"""
+
+
+def test_wide_lane_tile_picks_compile_for_tpu_target():
+    """Beyond-192^3 (wp=384) conv tile picks must fit the Mosaic scoped
+    stack — guards the budget formulas' temp terms against the 256^3
+    OOM regression found in round 4 (see _fwd_vmem_bytes)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER_WIDE_LANES],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=580,
+    )
+    if "SKIP_NO_TOPOLOGY" in out.stdout:
+        pytest.skip("no TPU topology/libtpu support in this environment")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert out.stdout.count("WIDE_LANES_OK") == 3, out.stdout + out.stderr
