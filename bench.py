@@ -131,6 +131,23 @@ def _arm_watchdog(seconds: float) -> None:
     t.start()
 
 
+def _write_synth_dataset(tmp: str, n_vols: int, rng) -> None:
+    """Synthetic CombinedDataset-layout CT pairs used by BOTH the
+    host-decode and the train-end-to-end secondaries (one recipe, so
+    the two sections always measure identical data)."""
+    from multimodal_segmentation_project_tpu.data.nifti import save_nifti
+
+    img_dir = os.path.join(tmp, "synth_ct", "images")
+    lbl_dir = os.path.join(tmp, "synth_ct", "labels")
+    os.makedirs(img_dir)
+    os.makedirs(lbl_dir)
+    for i in range(n_vols):
+        lbl = rng.integers(0, 4, size=(SIZE, SIZE, SIZE)).astype(np.int16)
+        img = lbl * 100.0 + rng.normal(0, 30, lbl.shape)
+        save_nifti(img.astype(np.float32), os.path.join(img_dir, f"c{i}.nii.gz"))
+        save_nifti(lbl, os.path.join(lbl_dir, f"c{i}.nii.gz"))
+
+
 def main() -> None:
     _require_live_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "300")))
     import jax
@@ -250,20 +267,11 @@ def main() -> None:
         import tempfile as _tf
 
         from multimodal_segmentation_project_tpu.data.dataset import CombinedDataset
-        from multimodal_segmentation_project_tpu.data.nifti import save_nifti as _sn
         from multimodal_segmentation_project_tpu.data.pipeline import DataLoader
 
         n_vols = int(os.environ.get("BENCH_DECODE_N", "8"))
         with _tf.TemporaryDirectory() as tmp:
-            img_dir = os.path.join(tmp, "synth_ct", "images")
-            lbl_dir = os.path.join(tmp, "synth_ct", "labels")
-            os.makedirs(img_dir)
-            os.makedirs(lbl_dir)
-            for i in range(n_vols):
-                lbl = rng.integers(0, 4, size=(SIZE, SIZE, SIZE)).astype(np.int16)
-                img = lbl * 100.0 + rng.normal(0, 30, lbl.shape)
-                _sn(img.astype(np.float32), os.path.join(img_dir, f"c{i}.nii.gz"))
-                _sn(lbl, os.path.join(lbl_dir, f"c{i}.nii.gz"))
+            _write_synth_dataset(tmp, n_vols, rng)
             ds = CombinedDataset(tmp, verbose=False)
             loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=4)
             for _ in loader:  # warm epoch primes the OS page cache
@@ -302,6 +310,8 @@ def main() -> None:
             load_nifti_header, save_nifti,
         )
 
+        if predict is None:
+            raise RuntimeError("skipped: inference secondary failed")
         n_eval = min(4, N_BATCHES - 2)
         with tempfile.TemporaryDirectory() as tmp:
             srcs = []
@@ -411,20 +421,11 @@ def main() -> None:
         import tempfile as _tf
 
         from multimodal_segmentation_project_tpu.data.dataset import CombinedDataset
-        from multimodal_segmentation_project_tpu.data.nifti import save_nifti as _sn
         from multimodal_segmentation_project_tpu.data.pipeline import DataLoader
 
         n_vols = int(os.environ.get("BENCH_E2E_N", "8"))
         with _tf.TemporaryDirectory() as tmp:
-            img_dir = os.path.join(tmp, "synth_ct", "images")
-            lbl_dir = os.path.join(tmp, "synth_ct", "labels")
-            os.makedirs(img_dir)
-            os.makedirs(lbl_dir)
-            for i in range(n_vols):
-                lbl = rng.integers(0, 4, size=(SIZE, SIZE, SIZE)).astype(np.int16)
-                img = lbl * 100.0 + rng.normal(0, 30, lbl.shape)
-                _sn(img.astype(np.float32), os.path.join(img_dir, f"c{i}.nii.gz"))
-                _sn(lbl, os.path.join(lbl_dir, f"c{i}.nii.gz"))
+            _write_synth_dataset(tmp, n_vols, rng)
             ds = CombinedDataset(tmp, verbose=False)
             loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2)
             # one warm epoch primes OS page cache the way a second real

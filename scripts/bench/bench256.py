@@ -52,9 +52,22 @@ for i in range(4):
     n += 1
 float(m["loss"])
 dt = (time.time() - t0) / n
-print(json.dumps({
+res = {
     "train_256cube_step_ms": round(dt * 1000, 1),
     "train_256cube_samples_per_sec": round(1 / dt, 4),
     "train_256cube_compile_s": round(compile_s, 1),
     "loss": float(m["loss"]),
-}))
+}
+print(json.dumps(res))
+
+# merge the perf keys into the official details file (same pattern as
+# bench.py's _write_details; 'loss' is run-local, not merged)
+details_path = "/root/repo/BENCH_DETAILS.json"
+try:
+    with open(details_path) as f:
+        merged = json.load(f)
+except (OSError, ValueError):
+    merged = {}
+merged.update({k: v for k, v in res.items() if k != "loss"})
+with open(details_path, "w") as f:
+    json.dump(merged, f, indent=2)

@@ -213,7 +213,7 @@ def abs_(shape, dt=jnp.bfloat16):
 CASES = (
     (32, 16, 380, "stats32"),   # 256^3 full-res stats conv (wp=384)
     (16, 16, 380, "plain16"),   # 256^3 full-res plain conv (wp=384)
-    (64, 32, 126, "stats64"),   # 256^3 second-level dw (wp=256, C=64)
+    (64, 32, 254, "stats64"),   # 256^3 second-level dw (wp=256, C=64; W=254 -> wp=round_up(256,128)=256)
 )
 for cin, cout, W, tag in CASES:
     x = abs_((1, cin, 8, 16, W))
