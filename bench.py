@@ -93,22 +93,44 @@ def _require_live_backend(timeout_s: float = 300.0) -> None:
         os._exit(1)
 
 
+_DROPPED: set = set()  # keys to purge from the on-disk merge (stale results)
+
+
 def _write_details(details: dict) -> None:
     """Merge ``details`` onto BENCH_DETAILS.json on disk.
 
     Called after EVERY section so a watchdog/driver kill mid-secondary
     loses nothing. Merges (rather than overwrites) because secondary
     harnesses (e.g. scripts/bench/bench256.py) record their own keys
-    there and an official re-run must not clobber them."""
+    there and an official re-run must not clobber them. Keys in
+    ``_DROPPED`` are removed so a failed section cannot leave a prior
+    run's success values sitting next to this run's error key."""
     merged = {}
     try:
         with open(_DETAILS_PATH) as f:
             merged = json.load(f)
     except (OSError, ValueError):
         pass
+    for k in _DROPPED:
+        merged.pop(k, None)
     merged.update(details)
     with open(_DETAILS_PATH, "w") as f:
         json.dump(merged, f, indent=2)
+
+
+def _end_section(details: dict, err_key: str, keys: tuple, err=None) -> None:
+    """Reconcile a secondary's keys so value/error keys from DIFFERENT
+    runs can never coexist: on success drop the error key, on failure
+    drop the (possibly stale on disk) value keys and record the error."""
+    if err is None:
+        details.pop(err_key, None)
+        _DROPPED.add(err_key)
+    else:
+        for k in keys:
+            details.pop(k, None)
+        _DROPPED.update(keys)
+        details[err_key] = str(err)[:200]
+    _write_details(details)
 
 
 def _arm_watchdog(seconds: float) -> None:
@@ -226,7 +248,13 @@ def main() -> None:
         return
     _arm_watchdog(float(os.environ.get("BENCH_WATCHDOG", "1500")))
 
+    details["bench_run_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
     # ---- secondary: full-volume inference (test_model.py workload) ----
+    _INFER_KEYS = (
+        "inference_compile_s", "inference_volumes_per_sec",
+        "inference_ms_per_volume", "inference_vs_reference_est",
+    )
     try:
         @jax.jit
         def predict(variables, images, labels):
@@ -253,16 +281,25 @@ def main() -> None:
         details["inference_vs_reference_est"] = round(
             infer_vps / REFERENCE_BASELINE_VPS, 3
         )
+        _end_section(details, "inference_error", _INFER_KEYS)
     except Exception as e:
-        details["inference_error"] = str(e)[:200]
         variables = None
         predict = None
-    _write_details(details)
+        _end_section(details, "inference_error", _INFER_KEYS, err=e)
 
     # ---- secondary: host-side decode-only throughput (no device in the
     # loop). Settles whether the data stack could feed the train step on
     # a real (non-tunneled) TPU VM: native C++ gzip+decode+CT-window,
     # num_workers threads, distinct volumes. ----
+    _DECODE_KEYS = (
+        "host_decode_volumes_per_sec", "host_decode_cpu_count",
+        "host_decode_note",
+    )
+    _CACHED_KEYS = (
+        "host_decode_cached_volumes_per_sec",
+        "host_decode_cache_populate_volumes_per_sec",
+        "host_decode_cached_note",
+    )
     try:
         import tempfile as _tf
 
@@ -272,7 +309,9 @@ def main() -> None:
         n_vols = int(os.environ.get("BENCH_DECODE_N", "8"))
         with _tf.TemporaryDirectory() as tmp:
             _write_synth_dataset(tmp, n_vols, rng)
-            ds = CombinedDataset(tmp, verbose=False)
+            # cache=None: this metric is the RAW per-core decode rate
+            # (every epoch pays the full gzip inflate, like the reference)
+            ds = CombinedDataset(tmp, verbose=False, cache=None)
             loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=4)
             for _ in loader:  # warm epoch primes the OS page cache
                 pass
@@ -283,25 +322,67 @@ def main() -> None:
                 float(images.reshape(-1)[0])
                 n += 1
             host_vps = n / (time.time() - t0)
-        details["host_decode_volumes_per_sec"] = round(host_vps, 4)
-        details["host_decode_cpu_count"] = os.cpu_count()
-        details["host_decode_note"] = (
-            "gzip .nii.gz -> decoded + CT-windowed float32 batch, native "
-            "C++ loader, 4 worker threads, no device in the loop. This "
-            "benchmark host has ONE usable core (zlib inflate bound, "
-            "~114 MB/s compressed; solo measurement 2.7 vol/s/core at "
-            "192^3 incl. the int16 label file + preprocessing), so this "
-            "number is per-core throughput; worker threads scale it "
-            "linearly on real TPU-VM hosts (tens of cores), which feed "
-            "the ~7 samples/s train step with ~3+ workers"
-        )
+            details["host_decode_volumes_per_sec"] = round(host_vps, 4)
+            details["host_decode_cpu_count"] = os.cpu_count()
+            details["host_decode_note"] = (
+                "gzip .nii.gz -> decoded + CT-windowed float32 batch, native "
+                "C++ loader, 4 worker threads, no decode cache, no device in "
+                "the loop. This benchmark host has ONE usable core (zlib "
+                "inflate bound, ~114 MB/s compressed; solo measurement "
+                "2.7 vol/s/core at 192^3 incl. the int16 label file + "
+                "preprocessing), so this number is per-core throughput. "
+                "Training epochs >= 2 do NOT pay this cost: see "
+                "host_decode_cached_volumes_per_sec (decode-once mmap "
+                "sidecar cache, data/cache.py)"
+            )
+            _end_section(details, "host_decode_error", _DECODE_KEYS)
+
+            # ---- decode-once cache path (the default training path):
+            # epoch 1 decodes + writes raw sidecars, epochs >= 2 mmap
+            # them. Measured on the SAME volumes, same host. ----
+            try:
+                dsc = CombinedDataset(tmp, verbose=False)  # cache="auto"
+                loaderc = DataLoader(dsc, batch_size=1, shuffle=False, num_workers=4)
+                t0 = time.time()
+                n = 0
+                for images, labels_np in loaderc:  # populate epoch
+                    float(images.reshape(-1)[0])
+                    n += 1
+                populate_vps = n / (time.time() - t0)
+                warm = []
+                for _ in range(2):
+                    t0 = time.time()
+                    n = 0
+                    for images, labels_np in loaderc:
+                        float(images.reshape(-1)[0])
+                        n += 1
+                    warm.append(n / (time.time() - t0))
+                details["host_decode_cached_volumes_per_sec"] = round(max(warm), 4)
+                details["host_decode_cache_populate_volumes_per_sec"] = round(
+                    populate_vps, 4
+                )
+                details["host_decode_cached_note"] = (
+                    "same volumes via the decode-once cache (data/cache.py): "
+                    "first epoch decodes + writes raw float32/int16 .npy "
+                    "sidecars, later epochs np.load(mmap) at page-cache "
+                    "bandwidth — measured SOLO on this 1-core host, no "
+                    "extrapolation; this is the rate the data stack feeds "
+                    "steady-state training epochs"
+                )
+                _end_section(details, "host_decode_cached_error", _CACHED_KEYS)
+            except Exception as e:
+                _end_section(details, "host_decode_cached_error", _CACHED_KEYS, err=e)
     except Exception as e:
-        details["host_decode_error"] = str(e)[:200]
-    _write_details(details)
+        _end_section(details, "host_decode_error", _DECODE_KEYS, err=e)
+        _end_section(
+            details, "host_decode_cached_error", _CACHED_KEYS,
+            err=RuntimeError("skipped: host-decode section failed"),
+        )
 
     # ---- eval end-to-end: device forward + host metrics readout + NIfTI
     # export with header probe and writer-thread overlap (test_model.py
     # protocol, not just the device forward) ----
+    _EVAL_E2E_KEYS = ("eval_end_to_end_volumes_per_sec",)
     try:
         import tempfile
         from concurrent.futures import ThreadPoolExecutor
@@ -343,9 +424,9 @@ def main() -> None:
             e2e = n_eval / (time.time() - t0)
             pool.shutdown()
         details["eval_end_to_end_volumes_per_sec"] = round(e2e, 4)
+        _end_section(details, "eval_end_to_end_error", _EVAL_E2E_KEYS)
     except Exception as e:  # never let the secondary metric kill the bench
-        details["eval_end_to_end_error"] = str(e)[:200]
-    _write_details(details)
+        _end_section(details, "eval_end_to_end_error", _EVAL_E2E_KEYS, err=e)
 
     # ---- MXU utilization accounting (vs v5e ~197 TFLOP/s bf16 peak) ----
     V = SIZE**3
@@ -383,6 +464,7 @@ def main() -> None:
 
     # ---- secondary: batch-2 step (throughput headroom beyond the
     # reference's batch-1 protocol) ----
+    _BATCH2_KEYS = ("train_samples_per_sec_batch2",)
     try:
         def batch2():
             labels = rng.integers(0, 4, size=(2, SIZE, SIZE, SIZE)).astype(np.int32)
@@ -408,15 +490,18 @@ def main() -> None:
         float(m2["loss"])
         sps2 = 2 * 4 / (time.time() - t0)
         details["train_samples_per_sec_batch2"] = round(sps2, 4)
+        _end_section(details, "batch2_error", _BATCH2_KEYS)
     except Exception as e:
-        details["batch2_error"] = str(e)[:200]
-    _write_details(details)
+        _end_section(details, "batch2_error", _BATCH2_KEYS, err=e)
 
     # ---- train end-to-end: gzipped .nii.gz on disk -> DataLoader
     # (threaded native decode + preprocessing) -> host->device transfer
     # -> jitted train step. The reference's bottleneck story includes
     # host decode (train_unet.py:372-374, 2 nibabel workers); this
     # measures the whole pipeline, not just the resident-data step. ----
+    _TRAIN_E2E_KEYS = (
+        "train_end_to_end_samples_per_sec", "train_end_to_end_note",
+    )
     try:
         import tempfile as _tf
 
@@ -426,10 +511,11 @@ def main() -> None:
         n_vols = int(os.environ.get("BENCH_E2E_N", "8"))
         with _tf.TemporaryDirectory() as tmp:
             _write_synth_dataset(tmp, n_vols, rng)
-            ds = CombinedDataset(tmp, verbose=False)
+            ds = CombinedDataset(tmp, verbose=False)  # decode cache on (default)
             loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2)
-            # one warm epoch primes OS page cache the way a second real
-            # epoch runs; step is already compiled (same shapes as above)
+            # the warm epoch populates the decode-once cache exactly like
+            # a real first epoch; the timed epoch is the steady state
+            # (mmap sidecar reads); step is already compiled (same shapes)
             e2e_state = state
             # one-batch lookahead: device_put is async, so uploading
             # batch i+1 while step(i) executes overlaps the relay/PCIe
@@ -453,16 +539,18 @@ def main() -> None:
                     e2e_sps = n / (time.time() - t0)
         details["train_end_to_end_samples_per_sec"] = round(e2e_sps, 4)
         details["train_end_to_end_note"] = (
-            "full pipeline: gzip .nii.gz decode (native C++ loader, 2 "
-            "threads) + CT windowing + host->device upload + train step; "
-            "on this relay-tunneled environment the 28 MB/volume upload "
-            "rides the tunnel and dominates any gap vs the resident-data "
-            "step (see host_decode_volumes_per_sec for the device-free "
+            "full steady-state pipeline: .nii.gz on disk -> decode-once "
+            "cache (epoch 1 decoded by the native C++ loader, timed epoch "
+            "reads mmap sidecars, data/cache.py) + host->device upload + "
+            "train step; on this relay-tunneled environment the "
+            "28 MB/volume upload rides the tunnel and dominates any gap "
+            "vs the resident-data step (see "
+            "host_decode_cached_volumes_per_sec for the device-free "
             "host-stack number)"
         )
+        _end_section(details, "train_end_to_end_error", _TRAIN_E2E_KEYS)
     except Exception as e:  # never let the secondary metric kill the bench
-        details["train_end_to_end_error"] = str(e)[:200]
-    _write_details(details)
+        _end_section(details, "train_end_to_end_error", _TRAIN_E2E_KEYS, err=e)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,11 @@ from dataclasses import dataclass
 import numpy as np
 
 from multimodal_segmentation_project_tpu.data import native
+from multimodal_segmentation_project_tpu.data.cache import (
+    VolumeCache,
+    cache_enabled,
+    default_cache_dir,
+)
 from multimodal_segmentation_project_tpu.data.nifti import load_nifti
 
 # AMOS label ids -> harmonized classes (utils/dataloader.py:43-49)
@@ -101,14 +106,28 @@ class Sample:
 class CombinedDataset:
     """Aggregates ``split_dir/<dataset>/{images,labels}`` across datasets."""
 
-    def __init__(self, split_dir, modalities=None, verbose=True):
+    def __init__(self, split_dir, modalities=None, verbose=True, cache="auto"):
+        """``cache``: "auto" (default) caches decoded volumes as raw
+        mmap-able sidecars under ``default_cache_dir(split_dir)`` —
+        the first epoch decodes, later epochs read at page-cache speed
+        (see data/cache.py); a path uses that directory; None/False
+        disables. ``MMSEG_NO_CACHE=1`` force-disables "auto"."""
         self.split_dir = str(split_dir)
         self.modalities = (
             [m.lower() for m in modalities] if modalities is not None else None
         )
+        if cache == "auto":
+            cache_dir = default_cache_dir(self.split_dir) if cache_enabled() else None
+        elif cache:
+            cache_dir = str(cache)
+        else:
+            cache_dir = None
+        self.cache = VolumeCache(cache_dir)
         self.samples: list[Sample] = []
 
         for dataset_name in sorted(os.listdir(self.split_dir)):
+            if dataset_name.startswith("."):
+                continue  # dot-dirs (incl. the decode cache) are not datasets
             if self.modalities is not None and modality_of(dataset_name) not in self.modalities:
                 if verbose:
                     print(
@@ -141,10 +160,7 @@ class CombinedDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def __getitem__(self, idx: int):
-        s = self.samples[idx]
-        is_ct = modality_of(s.dataset_name) == "ct"
-
+    def _decode_image(self, s: Sample, is_ct: bool) -> np.ndarray:
         # native C++ fast path: decode + (for CT) fused window normalize
         norm = native.NORM_CT_WINDOW if is_ct else native.NORM_NONE
         loaded = native.load_nifti_f32(s.image_path, norm_mode=norm)
@@ -155,16 +171,38 @@ class CombinedDataset:
         else:
             image = load_nifti(s.image_path).data.astype(np.float32)
             image = preprocess_ct(image) if is_ct else preprocess_mri(image)
+        return image
 
+    def _decode_label(self, s: Sample) -> np.ndarray:
         lloaded = native.load_nifti_f32(s.label_path)
         if lloaded is not None:
             label = lloaded[0].astype(np.int64)
         else:
             label = load_nifti(s.label_path).data.astype(np.int64)
         label = harmonize_labels(label, s.dataset_name)
+        # harmonized classes are {0..3}; int16 halves the sidecar size
+        # (kept int32 if exotic passthrough labels overflow)
+        if label.size and label.max(initial=0) < 2**15 and label.min(initial=0) >= -(2**15):
+            return label.astype(np.int16)
+        return label.astype(np.int32)
+
+    def __getitem__(self, idx: int):
+        s = self.samples[idx]
+        is_ct = modality_of(s.dataset_name) == "ct"
+        img_tag = "img-ct" if is_ct else "img-mri"
+        name = s.dataset_name.lower()
+        lbl_tag = (
+            "lbl-amos" if name.startswith("amos")
+            else "lbl-chaos" if name.startswith("chaos")
+            else "lbl-id"
+        )
+        image = self.cache.get(
+            s.image_path, img_tag, lambda: self._decode_image(s, is_ct)
+        )
+        label = self.cache.get(s.label_path, lbl_tag, lambda: self._decode_label(s))
 
         # channel-first: (1, D, H, W) image, (D, H, W) int32 label
-        return image[None], label.astype(np.int32)
+        return image[None], np.asarray(label, dtype=np.int32)
 
 
 class Subset:

@@ -84,9 +84,10 @@ def random_gaussian_noise(key, image, mean: float = 0.0, std: float = 0.01):
     return image + mean + std * jax.random.normal(key, image.shape)
 
 
-def random_adjust_contrast(key, image, gamma_range=(0.7, 1.5)):
-    """Gamma adjustment on the min-max normalized intensities (MONAI semantics)."""
-    gamma = jax.random.uniform(key, minval=gamma_range[0], maxval=gamma_range[1])
+def adjust_contrast(image, gamma):
+    """Deterministic gamma adjustment on min-max normalized intensities
+    (MONAI ``AdjustContrast`` semantics; golden-tested against MONAI in
+    tests/test_golden_parity.py where the library exists)."""
     lo = jnp.min(image)
     rng = jnp.max(image) - lo
     eps = 1e-7
@@ -94,24 +95,30 @@ def random_adjust_contrast(key, image, gamma_range=(0.7, 1.5)):
     return jnp.power(norm, gamma) * (rng + eps) + lo
 
 
-def random_histogram_shift(key, image, num_control_points: int = 5):
-    """Random monotone piecewise-linear intensity remap (MONAI semantics).
+def random_adjust_contrast(key, image, gamma_range=(0.7, 1.5)):
+    """Gamma adjustment with gamma ~ U[0.7, 1.5] (MONAI semantics)."""
+    gamma = jax.random.uniform(key, minval=gamma_range[0], maxval=gamma_range[1])
+    return adjust_contrast(image, gamma)
 
-    Source control points evenly span [min, max]; destination points are
-    sorted uniform draws with fixed endpoints, guaranteeing monotonicity.
+
+def apply_histogram_shift(image, dst):
+    """Monotone piecewise-linear intensity remap with destination control
+    points ``dst`` in [0, 1] (sources evenly span [min, max], as in
+    MONAI's RandHistogramShift where reference points are a linspace).
 
     Evaluated segment-by-segment with compare/select instead of
     jnp.interp: interp's searchsorted+gather lowers to two ~100 ms
     volume-sized gather kernels on TPU, while the unrolled piecewise
-    form (n_segments is 4) fuses into one elementwise pass.
+    form (n_segments is 4) fuses into one elementwise pass. Golden-tested
+    against np.interp, and against MONAI's own np.interp application
+    where the library exists (tests/test_golden_parity.py).
     """
+    dst = jnp.asarray(dst)
     lo = jnp.min(image)
     hi = jnp.max(image)
-    interior = jax.random.uniform(key, (num_control_points - 2,))
-    dst = jnp.concatenate([jnp.zeros(1), jnp.sort(interior), jnp.ones(1)])
     span = hi - lo + 1e-7
     norm = jnp.clip((image - lo) / span, 0.0, 1.0)
-    n_seg = num_control_points - 1
+    n_seg = dst.shape[0] - 1
     t = norm * n_seg
     shifted = jnp.zeros_like(norm)
     for k in range(n_seg):
@@ -119,6 +126,15 @@ def random_histogram_shift(key, image, num_control_points: int = 5):
         in_seg = (t >= k) & (t < k + 1) if k < n_seg - 1 else (t >= k)
         shifted = jnp.where(in_seg, seg_val, shifted)
     return shifted * span + lo
+
+
+def random_histogram_shift(key, image, num_control_points: int = 5):
+    """Random monotone remap (MONAI semantics): destination points are
+    sorted uniform draws with fixed 0/1 endpoints (monotone by
+    construction)."""
+    interior = jax.random.uniform(key, (num_control_points - 2,))
+    dst = jnp.concatenate([jnp.zeros(1), jnp.sort(interior), jnp.ones(1)])
+    return apply_histogram_shift(image, dst)
 
 
 def random_coarse_dropout(

@@ -5,9 +5,9 @@ Measures compile + steady-state step time of the full train step
 memory-architecture claim (5.4 GB @192^3, ~3x headroom) turned into a
 measured capability. Distinct inputs per call; host-scalar reads close
 the timing windows (relay caching rules, docs/PERFORMANCE.md)."""
-import sys, time, json
+import os, sys, time, json
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,9 @@ print(json.dumps(res))
 
 # merge the perf keys into the official details file (same pattern as
 # bench.py's _write_details; 'loss' is run-local, not merged)
-details_path = "/root/repo/BENCH_DETAILS.json"
+details_path = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "BENCH_DETAILS.json"
+)
 try:
     with open(details_path) as f:
         merged = json.load(f)

@@ -156,10 +156,59 @@ def test_nifti_loader_against_nibabel(tmp_path):
     np.testing.assert_allclose(ours_aff, img.affine, atol=1e-6)
 
 
-def test_augmentations_against_monai():
-    pytest.importorskip(
-        "monai",
+def test_adjust_contrast_against_monai():
+    """ops/augment.py adjust_contrast vs MONAI's deterministic
+    AdjustContrast on the same gamma — both compute
+    ((img-min)/(range+eps))^gamma rescaled back; MONAI multiplies by
+    range where we multiply by range+eps, a <=1e-7-scale difference
+    covered by the tolerance."""
+    monai_t = pytest.importorskip(
+        "monai.transforms",
         reason="MONAI is not installed in this image (no-install "
-        "policy; recorded in ROUND4.md) — the transforms are pinned "
-        "distributionally in tests/test_augment.py instead",
+        "policy; recorded in ROUND5.md) — runs wherever it exists",
     )
+    import jax.numpy as jnp
+
+    from multimodal_segmentation_project_tpu.ops.augment import adjust_contrast
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(-40, 260, size=(1, 6, 7, 8)).astype(np.float32)
+    for gamma in (0.7, 1.0, 1.42):
+        want = np.asarray(monai_t.AdjustContrast(gamma=gamma)(img))
+        got = np.asarray(adjust_contrast(jnp.asarray(img), gamma))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_histogram_shift_against_monai():
+    """The gather-free piecewise evaluator (apply_histogram_shift) vs
+    MONAI's RandHistogramShift applied with MONAI'S OWN drawn control
+    points — the cross-library check of the TPU-critical reformulation
+    (MONAI evaluates the same monotone remap via np.interp)."""
+    monai_t = pytest.importorskip(
+        "monai.transforms",
+        reason="MONAI is not installed in this image (no-install "
+        "policy; recorded in ROUND5.md) — runs wherever it exists",
+    )
+    import jax.numpy as jnp
+
+    from multimodal_segmentation_project_tpu.ops.augment import (
+        apply_histogram_shift,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.0, 1.0, size=(1, 8, 8, 8)).astype(np.float32)
+    t = monai_t.RandHistogramShift(num_control_points=5, prob=1.0)
+    t.set_random_state(11)
+    want = np.asarray(t(img))
+    # MONAI keeps the drawn normalized control points on the instance;
+    # its reference points are a linspace — the same source-point
+    # convention apply_histogram_shift hard-codes
+    floating = np.asarray(t.floating_control_points, np.float64)
+    reference = np.asarray(t.reference_control_points, np.float64)
+    np.testing.assert_allclose(
+        reference, np.linspace(reference[0], reference[-1], len(reference)),
+        atol=1e-9,
+    )
+    dst = (floating - reference[0]) / (reference[-1] - reference[0])
+    got = np.asarray(apply_histogram_shift(jnp.asarray(img), dst))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
