@@ -91,12 +91,14 @@ class PallasConv3(nn.Module):
         fold_shift=None,
         return_stats=False,
         prologue=None,
+        act_relu=False,
     ):
         from multimodal_segmentation_project_tpu.ops.halo import halo_conv3
         from multimodal_segmentation_project_tpu.ops.pallas_conv import (
             conv3x3x3_cf,
             conv3x3x3_cf_boundary,
             conv3x3x3_cf_reference,
+            conv3x3x3_cf_relu,
             conv3x3x3_cf_stats,
         )
         from multimodal_segmentation_project_tpu.parallel.mesh import (
@@ -152,8 +154,15 @@ class PallasConv3(nn.Module):
 
             mesh = active_multi_mesh()
         if mesh is not None:
-            return halo_conv3(conv_fn, x.astype(self.dtype), kernel, bias, mesh)
-        return conv_fn(x.astype(self.dtype), kernel, bias)
+            y = halo_conv3(conv_fn, x.astype(self.dtype), kernel, bias, mesh)
+            return nn.relu(y) if act_relu else y
+        if act_relu and not self.use_xla:
+            # inference fast path: bias + ReLU (BN already folded into
+            # kernel/bias above) applied in the dot epilogue — no
+            # separate elementwise pass over the volume
+            return conv3x3x3_cf_relu(x.astype(self.dtype), kernel, bias)
+        y = conv_fn(x.astype(self.dtype), kernel, bias)
+        return nn.relu(y) if act_relu else y
 
 
 class BatchNormCF(nn.Module):
@@ -224,12 +233,21 @@ def _pallas_shape_ok(conv_impl: str, features: int, cin: int, h: int, w: int) ->
 class DoubleConv(nn.Module):
     """[Conv3d(3x3x3, SAME) -> BatchNorm -> ReLU -> Dropout3d] x 2.
 
-    Channel-first in/out. Two interior compute paths with identical
-    parameters:
+    Channel-first in/out by default. Three interior compute paths with
+    identical parameters:
       * Pallas (small-C levels on TPU): convs run natively channel-first
         — zero layout padding anywhere;
-      * XLA: transpose to channels-last for lax.conv, transpose back
-        (padded interiors stay transient under nn.remat).
+      * XLA, both convs: ONE transpose pair around the whole block
+        (round-5; the per-conv pairs cost ~2x the layout copies);
+      * XLA, mixed with Pallas (e.g. a concat conv over the C cap):
+        per-conv transpose pairs as before.
+
+    ``layout="cl"``: input AND output are channels-last (B, D, H, W, C)
+    and no transposes are issued at all — used by UNet3D's deep
+    channels-last region, where consecutive XLA blocks + pool/upconv/
+    concat chain in NDHWC and the layout conversion is paid once per
+    REGION instead of once per block. Only valid when both convs take
+    the XLA path (UNet3D guarantees it).
     """
 
     features: int
@@ -237,6 +255,42 @@ class DoubleConv(nn.Module):
     dtype: Any = jnp.bfloat16
     conv_impl: str = "auto"
     fused_bn_stats: bool = False
+    layout: str = "cf"  # 'cf' | 'cl'
+
+    def _xla_block(self, x, train, channels_last_io):
+        """Both convs through XLA's channels-last form; transposes only
+        at the block boundary (or nowhere, for layout='cl')."""
+        if not channels_last_io:
+            x = jnp.transpose(x, TO_LAST)
+        x = x.astype(self.dtype)
+        for i in range(2):
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3, 3),
+                padding="SAME",
+                use_bias=True,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                name=f"conv{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+            if self.dropout_rate > 0.0:
+                x = nn.Dropout(
+                    rate=self.dropout_rate,
+                    broadcast_dims=(1, 2, 3),
+                    deterministic=not train,
+                    name=f"drop{i}",
+                )(x)
+        if not channels_last_io:
+            x = jnp.transpose(x, TO_FIRST)
+        return x
 
     def _fused_boundary_path(self, x, train, spatial):
         """Training-mode fused DoubleConv (the default where eligible).
@@ -310,9 +364,23 @@ class DoubleConv(nn.Module):
         # channel-first XLA conv otherwise
         spatial = active_spatial_mesh() is not None
 
+        if self.layout == "cl":
+            assert not spatial, "channels-last blocks are single-layout only"
+            return self._xla_block(x, train, channels_last_io=True)
+
         fused = self._fused_boundary_path(x, train, spatial)
         if fused is not None:
             return fused
+        if not spatial:
+            p0 = _pallas_conv_ok(
+                self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]
+            )
+            p1 = _pallas_conv_ok(
+                self.conv_impl, self.features, self.features, x.shape[3], x.shape[4]
+            )
+            if not p0 and not p1:
+                # fully-XLA block: one transpose pair, not two
+                return self._xla_block(x, train, channels_last_io=False)
         for i in range(2):
             use_pallas = _pallas_conv_ok(
                 self.conv_impl, x.shape[1], self.features, x.shape[3], x.shape[4]
@@ -360,12 +428,18 @@ class DoubleConv(nn.Module):
                         # shift) by probing the module on tiny inputs
                         # (identical flax numerics, shared params) and fold
                         # them into the conv — one fewer full elementwise
-                        # pass over the volume.
+                        # pass over the volume. The ReLU rides the conv
+                        # kernel's epilogue too (act_relu), so inference
+                        # needs NO elementwise pass at all per conv.
                         dummy = jnp.zeros((1, self.features, 1, 1, 1), jnp.float32)
                         t = bn(dummy).reshape(-1)
                         s = bn(jnp.ones_like(dummy)).reshape(-1) - t
-                        x = conv(x.astype(self.dtype), fold_scale=s, fold_shift=t)
-                x = nn.relu(x)
+                        x = conv(
+                            x.astype(self.dtype), fold_scale=s, fold_shift=t,
+                            act_relu=True,
+                        )
+                if train:
+                    x = nn.relu(x)
                 if self.dropout_rate > 0.0:
                     # channel-wise dropout (torch Dropout3d): one mask
                     # per (batch, channel), broadcast over D/H/W.
@@ -424,12 +498,13 @@ class UpConv(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    layout: str = "cf"  # 'cf' | 'cl'
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from multimodal_segmentation_project_tpu.ops.upconv import upconv2x_cf
 
-        cin = x.shape[1]
+        cin = x.shape[1] if self.layout == "cf" else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.he_normal(batch_axis=(), in_axis=(0, 1, 2, 3), out_axis=4),
@@ -439,6 +514,17 @@ class UpConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
+        if self.layout == "cl":
+            # channels-last (deep-region) form: per-voxel matmul +
+            # depth-to-space with C kept minor throughout (same algebra
+            # as ops/upconv.py, which pins the channel-FIRST layout)
+            b, d, h, w, _ = x.shape
+            k2 = kernel.astype(self.dtype).reshape(8, cin, self.features)
+            y = jnp.einsum("bdhwc,kco->bdhwko", x.astype(self.dtype), k2)
+            y = y.reshape(b, d, h, w, 2, 2, 2, self.features)
+            y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+            y = y.reshape(b, 2 * d, 2 * h, 2 * w, self.features)
+            return y + bias.astype(y.dtype)
         return upconv2x_cf(x.astype(self.dtype), kernel, bias)
 
 
@@ -457,9 +543,22 @@ class DecoderStage(nn.Module):
     dtype: Any = jnp.bfloat16
     conv_impl: str = "auto"
     fused_bn_stats: bool = False
+    layout: str = "cf"  # 'cf' | 'cl' (stage input, skip and output)
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
+        if self.layout == "cl":
+            x = UpConv(self.features, self.dtype, layout="cl", name="up")(x)
+            if x.shape[1:4] != skip.shape[1:4]:
+                x = jax.image.resize(
+                    x, x.shape[:1] + skip.shape[1:4] + x.shape[-1:],
+                    method="trilinear",
+                ).astype(self.dtype)
+            x = jnp.concatenate([skip, x], axis=-1)
+            return DoubleConv(
+                self.features, self.dropout_rate, self.dtype, self.conv_impl,
+                self.fused_bn_stats, layout="cl", name="conv"
+            )(x, train)
         x = UpConv(self.features, self.dtype, name="up")(x)
         if x.shape[2:] != skip.shape[2:]:
             # shape guard for odd input sizes (models/unet.py:81-83);
@@ -472,6 +571,18 @@ class DecoderStage(nn.Module):
             self.features, self.dropout_rate, self.dtype, self.conv_impl,
             self.fused_bn_stats, name="conv"
         )(x, train)
+
+
+def max_pool_cl(x: jax.Array) -> jax.Array:
+    """2x stride-2 max pool on channels-last (B, D, H, W, C).
+
+    With C minor, all three window factors live on MAJOR dims, so the
+    whole pool is one reshape + max — none of the lane-dim contortions
+    max_pool_cf needs."""
+    b, d, h, w, c = x.shape
+    x = x[:, : d // 2 * 2, : h // 2 * 2, : w // 2 * 2]
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4, 6))
 
 
 def max_pool_cf(x: jax.Array) -> jax.Array:
@@ -558,6 +669,13 @@ class UNet3D(nn.Module):
                 return DecoderStage
             return r_stage if _remat_worth_it(d, h, w) else DecoderStage
 
+        def block_fully_xla(feats, cin, h, w):
+            """Neither conv of the block can take a Pallas kernel."""
+            return not (
+                _pallas_conv_ok(self.conv_impl, cin, feats, h, w)
+                or _pallas_conv_ok(self.conv_impl, feats, feats, h, w)
+            )
+
         # Pool with the Pallas backward (ops/pool.py) on the
         # single-device TPU path — same gate as the Pallas 1x1 head
         # below: a pallas_call cannot sit bare inside a pjit-partitioned
@@ -581,40 +699,85 @@ class UNet3D(nn.Module):
         else:
             pool_fn = max_pool_cf
 
+        # ---- deep channels-last region (round 5) ----
+        # The fully-XLA deep levels each used to transpose CF->CL->CF
+        # around every block; chaining them (blocks + pools + upconv +
+        # concat) in NDHWC pays the layout conversion once per REGION.
+        # The region is the deepest contiguous run: a suffix of the
+        # encoder, the bottleneck, and the matching decoder prefix, all
+        # fully-XLA (the skip of decoder stage j is encoder level
+        # L-1-j, so symmetric trimming keeps every skip in-layout).
+        # Disabled under spatial sharding (those convs must run inside
+        # channel-first halo islands).
+        from multimodal_segmentation_project_tpu.parallel.mesh import (
+            active_spatial_mesh,
+        )
+
+        L = len(self.features)
+        enc_fx, enc_shapes = [], []
+        cin_i = x.shape[1]
+        d_i, h_i, w_i = x.shape[2], x.shape[3], x.shape[4]
+        for feats in self.features:
+            enc_fx.append(block_fully_xla(feats, cin_i, h_i, w_i))
+            enc_shapes.append((d_i, h_i, w_i))
+            cin_i, d_i, h_i, w_i = feats, d_i // 2, h_i // 2, w_i // 2
+        bneck_fx = block_fully_xla(self.features[-1] * 2, self.features[-1], h_i, w_i)
+        dec_fx = []
+        for i, feats in enumerate(reversed(self.features)):
+            _, sh, sw = enc_shapes[L - 1 - i]
+            dec_fx.append(block_fully_xla(feats, 2 * feats, sh, sw))
+        k = 0
+        if bneck_fx and active_spatial_mesh() is None:
+            while k < L and dec_fx[k] and enc_fx[L - 1 - k]:
+                k += 1
+
+        def in_region_enc(i):
+            return k > 0 and i >= L - k
+
         x = x.astype(self.dtype)
         skips = []
+        enc_cins = [x.shape[1]] + list(self.features[:-1])
         for i, feats in enumerate(self.features):
-            cls = pick_block(feats, x.shape[1], x.shape[3], x.shape[4], x.shape[2])
+            if in_region_enc(i) and not in_region_enc(i - 1):
+                x = jnp.transpose(x, TO_LAST)  # enter the CL region
+            bd, bh, bw = enc_shapes[i]
+            cls = pick_block(feats, enc_cins[i], bh, bw, bd)
             x = cls(
                 feats, self.dropout_rate, self.dtype, self.conv_impl,
-                self.fused_bn_stats, name=f"enc{i}"
+                self.fused_bn_stats, layout="cl" if in_region_enc(i) else "cf",
+                name=f"enc{i}",
             )(x, train)
             skips.append(x)
-            x = pool_fn(x)
+            x = max_pool_cl(x) if in_region_enc(i) else pool_fn(x)
 
-        cls = pick_block(
-            self.features[-1] * 2, x.shape[1], x.shape[3], x.shape[4], x.shape[2]
-        )
+        # (k > 0 implies enc L-1 is in the region, so x is already CL here)
+        cls = pick_block(self.features[-1] * 2, self.features[-1], h_i, w_i, d_i)
         x = cls(
             self.features[-1] * 2, self.dropout_rate, self.dtype, self.conv_impl,
-            self.fused_bn_stats, name="bottleneck",
+            self.fused_bn_stats, layout="cl" if k > 0 else "cf",
+            name="bottleneck",
         )(x, train)
 
         bottleneck_gap = None
         if return_features:
-            bottleneck_gap = jnp.mean(x.astype(jnp.float32), axis=(2, 3, 4))
+            gap_axes = (1, 2, 3) if k > 0 else (2, 3, 4)
+            bottleneck_gap = jnp.mean(x.astype(jnp.float32), axis=gap_axes)
 
         for i, feats in enumerate(reversed(self.features)):
             skip = skips[-(i + 1)]
+            if i == k and k > 0:
+                x = jnp.transpose(x, TO_FIRST)  # leave the CL region
             # the stage's DoubleConv sees concat(skip, up) at the skip's
             # resolution with 2*feats input channels
-            cls = pick_stage(
-                feats, 2 * feats, skip.shape[3], skip.shape[4], skip.shape[2]
-            )
+            _, sh, sw = enc_shapes[L - 1 - i]
+            cls = pick_stage(feats, 2 * feats, sh, sw, enc_shapes[L - 1 - i][0])
             x = cls(
                 feats, self.dropout_rate, self.dtype, self.conv_impl,
-                self.fused_bn_stats, name=f"dec{i}"
+                self.fused_bn_stats, layout="cl" if i < k else "cf",
+                name=f"dec{i}",
             )(x, skip, train)
+        if k == L:
+            x = jnp.transpose(x, TO_FIRST)  # whole net ran channels-last
 
         # 1x1x1 head: a (.., 4)-minor conv output would be lane-padded
         # 32x (see module docstring). The channel-first einsum form

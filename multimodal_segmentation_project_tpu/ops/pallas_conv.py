@@ -311,6 +311,33 @@ def _fwd_kernel(
         out_ref[0, :, t, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
 
 
+def _fwd_bias_act_kernel(
+    x_ref, w_ref, b_ref, out_ref, xtile, panel, dma_sem, *,
+    cin, cout, td, th, w_dim, wp, n_ht, n_d, relu,
+):
+    """Forward conv with bias (+ optional ReLU) applied in-kernel.
+
+    The plain kernel leaves bias to XLA, whose bias+ReLU fusion is a
+    separate full-volume elementwise pass (profiled 0.92 ms per
+    full-res conv at 192^3 in the eval step). Folding both into the
+    dot epilogue makes the inference path's activation free."""
+    slot = _pipelined_tile(x_ref, xtile, dma_sem, td=td, th=th, n_ht=n_ht, n_d=n_d)
+    n = th * wp
+    for t in range(td):
+        _assemble_panel(xtile.at[slot], panel, cin=cin, th=th, wp=wp, td_off=t)
+        acc, acc1, acc2 = _kw_dots(w_ref, panel[:], cout)
+        acc = (
+            acc
+            + pltpu.roll(acc1, n - 1, axis=1)
+            + pltpu.roll(acc2, n - 2, axis=1)
+        )
+        acc = acc + b_ref[:]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        acc = acc.reshape(cout, th, wp)
+        out_ref[0, :, t, :, :] = acc[:, :, :w_dim].astype(out_ref.dtype)
+
+
 def _fwd_stats_kernel(
     x_ref, w_ref, b_ref, out_ref, stats_ref, xtile, panel, dma_sem, *,
     cin, cout, td, th, w_dim, wp, n_ht, n_d,
@@ -356,17 +383,28 @@ def _fwd_stats_kernel(
             stats_ref[:] = stats_ref[:] + s12
 
 
-def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype, with_stats=False):
+def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype, with_stats=False,
+               bias_act=False, relu=False):
     it = jnp.dtype(dtype).itemsize
     th = _pick_tile_h(h, cin, wp)
     td = _pick_tile_d(d, cin, th, wp, it, block_ch=cout)
     n_dt = d // td
     n_ht = h // th
-    kfn = _fwd_stats_kernel if with_stats else _fwd_kernel
-    kernel = partial(
-        kfn, cin=cin, cout=cout, td=td, th=th, w_dim=w_dim, wp=wp,
-        n_ht=n_ht, n_d=n_dt,
-    )
+    if with_stats:
+        kernel = partial(
+            _fwd_stats_kernel, cin=cin, cout=cout, td=td, th=th, w_dim=w_dim,
+            wp=wp, n_ht=n_ht, n_d=n_dt,
+        )
+    elif bias_act:
+        kernel = partial(
+            _fwd_bias_act_kernel, cin=cin, cout=cout, td=td, th=th,
+            w_dim=w_dim, wp=wp, n_ht=n_ht, n_d=n_dt, relu=relu,
+        )
+    else:
+        kernel = partial(
+            _fwd_kernel, cin=cin, cout=cout, td=td, th=th, w_dim=w_dim, wp=wp,
+            n_ht=n_ht, n_d=n_dt,
+        )
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
         pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights resident
@@ -377,8 +415,9 @@ def _make_conv(b, cin, cout, d, h, w_dim, wp, dtype, with_stats=False):
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((b, cout, d, h, w_dim), dtype)
-    if with_stats:
+    if with_stats or bias_act:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias (cout, 1)
+    if with_stats:
         out_spec = (
             out_spec,
             pl.BlockSpec((cout, 2), lambda bb, dd, hh: (0, 0), memory_space=pltpu.VMEM),
@@ -553,6 +592,52 @@ def _conv_bwd_rule(res, g):
 
 
 conv3x3x3_cf.defvjp(_conv_fwd_rule, _conv_bwd_rule)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def conv3x3x3_cf_relu(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    """SAME 3x3x3 conv + bias + ReLU, fused into one kernel pass.
+
+    The inference path's post-conv activation (bias-add + ReLU, with
+    the BatchNorm affine already folded into w/b by the caller) as a
+    dot epilogue — removes the separate XLA elementwise pass over the
+    volume (0.92 ms per full-res conv at 192^3). Differentiable (the
+    backward masks the cotangent by out > 0 and reuses the plain conv
+    backward), though the training path uses the boundary-fused kernels
+    instead."""
+    bdim, cin, d, h, w_dim = x.shape
+    cout = w.shape[4]
+    w_packed = pack_weights(w).astype(x.dtype)
+    xp = _pad_for_kernel(x)
+    call = _make_conv(
+        bdim, cin, cout, d, h, w_dim, xp.shape[-1], x.dtype,
+        bias_act=True, relu=True,
+    )
+    return call(xp, w_packed, b.astype(jnp.float32).reshape(cout, 1))
+
+
+def _conv_relu_fwd_rule(x, w, b):
+    out = conv3x3x3_cf_relu(x, w, b)
+    return out, (x, w, out)
+
+
+def _conv_relu_bwd_rule(res, g):
+    x, w, out = res
+    g = jnp.where(out > 0, g, jnp.zeros((), g.dtype))
+    xp = _pad_for_kernel(x)
+    cin, cout = w.shape[3], w.shape[4]
+    w_flip = w[::-1, ::-1, ::-1, :, :]
+    w_t = jnp.transpose(w_flip, (0, 1, 2, 4, 3))
+    wt_packed = pack_weights(w_t).astype(g.dtype)
+    pg = _pad_for_kernel(g)
+    dx = _conv_apply_padded(pg, wt_packed, cin, g.shape[-1])
+    dw_packed = _conv_dw_shared(xp, pg, cout)
+    dw = unpack_weight_grads(dw_packed, cin, cout).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(w.dtype)
+    return dx, dw, db
+
+
+conv3x3x3_cf_relu.defvjp(_conv_relu_fwd_rule, _conv_relu_bwd_rule)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

@@ -255,3 +255,29 @@ def test_fused_boundary_dropout_channel_semantics(rng):
     assert ch_any.ndim == 2  # (B, C) pattern exists
 
 
+
+
+@pytest.mark.smoke
+def test_fused_relu_forward_parity(case):
+    """conv3x3x3_cf_relu (the inference epilogue kernel) == relu of the
+    XLA reference."""
+    x, w, b = case
+    out = pc.conv3x3x3_cf_relu(x, w, b)
+    ref = jax.nn.relu(pc.conv3x3x3_cf_reference(x, w, b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    assert float(jnp.min(out)) >= 0.0
+
+
+def test_fused_relu_gradient_parity(case):
+    x, w, b = case
+    loss_p = lambda x, w, b: jnp.sum(pc.conv3x3x3_cf_relu(x, w, b) ** 2)
+    loss_r = lambda x, w, b: jnp.sum(
+        jax.nn.relu(pc.conv3x3x3_cf_reference(x, w, b)) ** 2
+    )
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+    for name, a, r in zip(("dx", "dw", "db"), gp, gr):
+        scale = max(float(jnp.max(jnp.abs(r))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(r) / scale, atol=2e-4, err_msg=name
+        )
